@@ -1,0 +1,198 @@
+"""Mueller & Müller symbol-timing recovery as a `lax.scan`.
+
+Reference: src/dsp/clock_recovery_mm.c:78-139 plus the 8-tap MMSE
+fractional-delay interpolator (src/dsp/mmse_fir_interpolator.c:188-191).
+
+The loop is inherently sequential with data-dependent input strides:
+
+    y_k     = dot(x[ii .. ii+7], bank[rint(mu * 128)])
+    mm      = sgn(last) * y_k - sgn(y_k) * last
+    omega  <- omega_mid + clip(omega + g_o * mm - omega_mid, +-lim)
+    mu     <- mu + omega + g_m * mm;   ii += floor(mu);   mu -= floor(mu)
+
+(NaN input emits 0.0 and strides floor(omega), reference :107-113.)
+
+Formulated here as a fixed-length scan over output symbols with masked
+validity: once the read pointer runs past the available input the step
+becomes a no-op, so the emitted count is data-dependent but shapes stay
+static (XLA-friendly).  Batching over channels is `jax.vmap`.
+
+Per-block carried state {omega, mu, last_sample, input tail} is exactly
+the reference's history hand-off (:119-135) and is what gets exchanged
+between time-shards in the multi-device pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdrmodem_tpu.dsp import taps as taps_mod
+
+NTAPS = taps_mod.MMSE_INTERP_NTAPS  # 8
+NSTEPS = taps_mod.MMSE_INTERP_NSTEPS  # 128
+
+# Maximum input tail carried between blocks: the loop stops with
+# ii > L - 8, and a single stride is at most ceil(omega*(1+limit)) + 1,
+# so the un-consumed tail is < 8 + max_stride.  16 covers sps <= 8; use
+# a generous fixed capacity so state shapes are static.
+TAIL_CAP = 32
+
+
+class ClockState(NamedTuple):
+    omega: jnp.ndarray  # () f32
+    mu: jnp.ndarray  # () f32
+    last_sample: jnp.ndarray  # () f32
+    tail: jnp.ndarray  # (TAIL_CAP,) f32 — unconsumed input samples
+    tail_len: jnp.ndarray  # () i32
+
+
+def mm_params(sps: float) -> dict:
+    """The reference fsk_demod's M&M constants (src/dsp/fsk_demod.c:63-67)."""
+    sps = np.float32(sps)
+    return dict(
+        omega=float(sps),
+        gain_omega=float(np.float32(sps * np.float32(np.pi)) / np.float32(100.0)),
+        mu=0.5,
+        gain_mu=0.0625,
+        omega_relative_limit=0.01,
+    )
+
+
+def initial_state(omega: float, mu: float = 0.5) -> ClockState:
+    return ClockState(
+        omega=jnp.float32(omega),
+        mu=jnp.float32(mu),
+        last_sample=jnp.float32(0.0),
+        tail=jnp.zeros(TAIL_CAP, jnp.float32),
+        tail_len=jnp.int32(0),
+    )
+
+
+def max_symbols(n_in: int, omega_mid: float, omega_relative_limit: float, gain_mu: float) -> int:
+    """Static upper bound on symbols produced from n_in input samples."""
+    min_stride = max(1.0, np.floor(omega_mid * (1.0 - omega_relative_limit) - 4.0 * gain_mu))
+    return int(np.ceil(n_in / min_stride)) + 2
+
+
+def _slice_sign(x):
+    return jnp.where(x < 0, jnp.float32(-1.0), jnp.float32(1.0))
+
+
+def _branchless_clip(x, clip):
+    return jnp.float32(0.5) * (jnp.abs(x + clip) - jnp.abs(x - clip))
+
+
+def clock_mm_stream(
+    x: jnp.ndarray,
+    *,
+    omega: float,
+    gain_omega: float,
+    mu: float = 0.5,
+    gain_mu: float = 0.0625,
+    omega_relative_limit: float = 0.01,
+    state: ClockState | None = None,
+    n_valid: jnp.ndarray | int | None = None,
+    num_symbols: int | None = None,
+):
+    """Run M&M clock recovery over a 1-D float32 stream.
+
+    x: (L,) float32.  ``state`` carries {omega, mu, last, tail} across
+    blocks (tail is prepended to x).  ``n_valid`` marks how many samples of
+    x are meaningful (for ragged last blocks).  Returns
+    (symbols (K,) f32, count () i32, new_state) where K is the static
+    ``num_symbols`` bound and only the first ``count`` entries are valid.
+
+    Batch over channels with ``jax.vmap``.
+    """
+    banks = jnp.asarray(taps_mod.mmse_interp_taps())  # (129, 8)
+    omega_mid = np.float32(omega)
+    omega_lim = np.float32(omega_mid * np.float32(omega_relative_limit))
+
+    ln = x.shape[-1]
+    if state is None:
+        state = initial_state(omega, mu)
+        work = jnp.concatenate([x.astype(jnp.float32), jnp.zeros(TAIL_CAP, jnp.float32)])
+        base_valid = jnp.asarray(ln if n_valid is None else n_valid, jnp.int32)
+    else:
+        # work = [tail, x, pad]; valid length = tail_len + n_valid
+        work = jnp.concatenate(
+            [state.tail, x.astype(jnp.float32), jnp.zeros(TAIL_CAP, jnp.float32)]
+        )
+        # left-align [tail[:tail_len], x, ...]: positions >= tail_len skip the
+        # unused remainder of the fixed-capacity tail buffer
+        i = jnp.arange(work.shape[0])
+        idx = jnp.where(i < state.tail_len, i, i + (TAIL_CAP - state.tail_len))
+        work = jnp.take(work, jnp.clip(idx, 0, work.shape[0] - 1))
+        base_valid = state.tail_len + jnp.asarray(
+            ln if n_valid is None else n_valid, jnp.int32
+        )
+
+    if num_symbols is None:
+        num_symbols = max_symbols(
+            ln + TAIL_CAP, float(omega_mid), omega_relative_limit, gain_mu
+        )
+
+    g_o = jnp.float32(gain_omega)
+    g_m = jnp.float32(gain_mu)
+    lmax = work.shape[0]
+
+    def step(carry, _):
+        ii, mu_c, omega_c, last, count = carry
+        valid = ii <= base_valid - NTAPS
+        ii_c = jnp.clip(ii, 0, lmax - NTAPS)
+        window = jax.lax.dynamic_slice(work, (ii_c,), (NTAPS,))
+        imu = jnp.clip(jnp.round(mu_c * NSTEPS).astype(jnp.int32), 0, NSTEPS)
+        y = jnp.dot(window, banks[imu], preferred_element_type=jnp.float32)
+
+        is_nan = jnp.isnan(y)
+        out = jnp.where(is_nan, jnp.float32(0.0), y)
+
+        mm = _slice_sign(last) * out - _slice_sign(out) * last
+        omega_n = omega_c + g_o * mm
+        omega_n = omega_mid + _branchless_clip(omega_n - omega_mid, omega_lim)
+        mu_n = mu_c + omega_n + g_m * mm
+        stride_n = jnp.floor(mu_n)
+        mu_n = mu_n - stride_n
+
+        # NaN branch: emit 0, stride floor(omega), leave mu/omega/last as-is
+        new_mu = jnp.where(is_nan, mu_c, mu_n)
+        new_omega = jnp.where(is_nan, omega_c, omega_n)
+        new_last = jnp.where(is_nan, last, out)
+        stride = jnp.where(is_nan, jnp.floor(omega_c), stride_n).astype(jnp.int32)
+
+        new_ii = ii + stride
+        carry = (
+            jnp.where(valid, new_ii, ii),
+            jnp.where(valid, new_mu, mu_c),
+            jnp.where(valid, new_omega, omega_c),
+            jnp.where(valid, new_last, last),
+            count + valid.astype(jnp.int32),
+        )
+        return carry, jnp.where(valid, out, jnp.float32(0.0))
+
+    init = (
+        jnp.int32(0),
+        jnp.asarray(state.mu, jnp.float32),
+        jnp.asarray(state.omega, jnp.float32),
+        jnp.asarray(state.last_sample, jnp.float32),
+        jnp.int32(0),
+    )
+    (ii_f, mu_f, omega_f, last_f, count), outs = jax.lax.scan(
+        step, init, None, length=int(num_symbols)
+    )
+
+    # Tail hand-off (reference :127-135): keep work[last_index:valid_len],
+    # where last_index rewinds to the previously processed position if the
+    # final stride overshot the buffer.
+    last_index = jnp.minimum(ii_f, base_valid)
+    tail_len = jnp.clip(base_valid - last_index, 0, TAIL_CAP)
+    start = jnp.clip(last_index, 0, lmax - TAIL_CAP)
+    tail = jax.lax.dynamic_slice(work, (start,), (TAIL_CAP,))
+    tail = jnp.where(jnp.arange(TAIL_CAP) < tail_len, tail, 0.0)
+
+    new_state = ClockState(omega_f, mu_f, last_f, tail, tail_len.astype(jnp.int32))
+    return outs, count, new_state
