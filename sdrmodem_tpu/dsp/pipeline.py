@@ -1,0 +1,221 @@
+"""Ragged-block jit pipeline: ONE compiled program for any chunk size.
+
+This is the production demodulator the server and the TPU bench run: all
+buffers have static shapes sized by ``block_size`` (the reference's
+``max_input_buffer_length`` pre-allocation convention), the number of
+valid samples is a runtime scalar, and each stage masks its outputs.  A
+stream chunk of any length <= block_size is zero-padded into the block
+buffer and processed by the same executable — no shape-keyed recompiles.
+
+IQ is carried as a (2, N) float32 pair (I, Q) rather than complex64:
+TPU hardware has no complex type, and the experimental axon backend does
+not lower complex at all.  The complex64 <-> pair conversion happens at
+the host boundary only.
+
+State per stage mirrors the reference's carried history
+(src/dsp/fir_filter.c:95-113, quadrature_demod.c:64-69,
+clock_recovery_mm.c:119-135) and is a pytree, so the whole pipeline can
+be vmapped over a channel axis and sharded with shard_map.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sdrmodem_tpu.dsp import taps as taps_mod
+from sdrmodem_tpu.dsp.clock_recovery import ClockState, clock_mm_stream, initial_state
+from sdrmodem_tpu.dsp.elementwise import dc_blocker_taps, fast_atan2
+from sdrmodem_tpu.dsp.fir import conv1d
+from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig, float_to_int8
+
+
+class FirRaggedState(NamedTuple):
+    hist: jnp.ndarray  # (..., cap) float32 — rows are independent lanes
+    hist_len: jnp.ndarray  # () int32
+
+
+class DemodState(NamedTuple):
+    lpf1: FirRaggedState  # complex as 2 lanes
+    quad_prev: jnp.ndarray  # (2,) float32 — previous (I, Q)
+    lpf2: FirRaggedState
+    dc: FirRaggedState | None
+    clock: ClockState
+
+
+def _left_align(hist: jnp.ndarray, hist_len, x: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """[hist[:hist_len], x, zeros] into a (lanes, cap + N) buffer."""
+    work = jnp.concatenate([hist, x], axis=-1)
+    n = work.shape[-1]
+    i = jnp.arange(n)
+    idx = jnp.where(i < hist_len, i, jnp.minimum(i + (cap - hist_len), n - 1))
+    out = jnp.take(work, idx, axis=-1)
+    # zero everything past hist_len + x-width (the moved-up zeros tail)
+    return out
+
+
+def _fir_ragged(
+    state: FirRaggedState,
+    x: jnp.ndarray,  # (lanes, N) float32, valid first n_valid columns
+    n_valid,
+    rev_taps: jnp.ndarray,
+    decimation: int,
+    max_out: int,
+    exact: bool,
+):
+    t = rev_taps.shape[0]
+    cap = state.hist.shape[-1]  # t - 1 + decimation - 1
+    work = _left_align(state.hist, state.hist_len, x, cap)
+    work_len = state.hist_len + n_valid
+    # mask invalid region to zero so stale values never leak into windows
+    work = jnp.where(jnp.arange(work.shape[-1]) < work_len, work, 0.0)
+
+    n_out = jnp.maximum(work_len - (t - 1) + decimation - 1, 0) // decimation
+    y = conv1d(work, rev_taps, decimation, 0, exact=exact)[:, 0, :max_out]
+    consumed = n_out * decimation
+
+    new_hist_len = (work_len - consumed).astype(jnp.int32)
+    start = jnp.clip(consumed, 0, work.shape[-1] - cap)
+    lanes = work.shape[0]
+    new_hist = jax.lax.dynamic_slice(
+        work, (jnp.int32(0), start.astype(jnp.int32)), (lanes, cap)
+    )
+    new_hist = jnp.where(jnp.arange(cap) < new_hist_len, new_hist, 0.0)
+    return FirRaggedState(new_hist, new_hist_len), y, n_out.astype(jnp.int32)
+
+
+def _quad_demod_ragged(prev, x, n_valid, gain, use_lut):
+    """x: (2, N) pairs. y[n] = gain * atan2(im, re) of x[n]*conj(x[n-1])."""
+    shifted = jnp.concatenate([prev[:, None], x[:, :-1]], axis=1)
+    re = x[0] * shifted[0] + x[1] * shifted[1]
+    im = x[1] * shifted[0] - x[0] * shifted[1]
+    if use_lut:
+        ang = fast_atan2(im, re)
+    else:
+        both_zero = ~((jnp.abs(im) > 0) | (jnp.abs(re) > 0))
+        ang = jnp.where(both_zero, jnp.float32(0.0), jnp.arctan2(im, re))
+    y = jnp.float32(gain) * ang
+    # previous sample for the next block = last VALID sample of x
+    idx = jnp.clip(n_valid - 1, 0, x.shape[1] - 1)
+    new_prev = jnp.where(n_valid > 0, x[:, idx], prev)
+    return new_prev, y
+
+
+class DemodPipeline:
+    """Single-jit ragged GMSK demodulator (per channel)."""
+
+    def __init__(
+        self,
+        config: FskDemodConfig,
+        block_size: int,
+        *,
+        use_atan_lut: bool = True,
+        exact: bool = False,
+    ):
+        self.config = config
+        self.block = int(block_size)
+        self.use_atan_lut = use_atan_lut
+        self.exact = exact
+        self._t1 = np.asarray(config.lpf1_taps(), np.float32)
+        self._t2 = np.asarray(config.lpf2_taps(), np.float32)
+        self._tdc = (
+            np.asarray(dc_blocker_taps(config.dc_length), np.float32)
+            if config.use_dc_block
+            else None
+        )
+        self._clockp = config.clock_params()
+        d = config.decimation
+        self.max_mid = self.block  # lpf1 output bound
+        self.max_dec = (self.block + d - 1) // d + 1
+        self._step = jax.jit(self._step_impl)
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> DemodState:
+        d = self.config.decimation
+        return DemodState(
+            lpf1=FirRaggedState(
+                jnp.zeros((2, len(self._t1) - 1), jnp.float32),
+                jnp.int32(len(self._t1) - 1),
+            ),
+            quad_prev=jnp.zeros(2, jnp.float32),
+            lpf2=FirRaggedState(
+                jnp.zeros((1, len(self._t2) - 1 + d - 1), jnp.float32),
+                jnp.int32(len(self._t2) - 1),
+            ),
+            dc=(
+                FirRaggedState(
+                    jnp.zeros((1, len(self._tdc) - 1), jnp.float32),
+                    jnp.int32(len(self._tdc) - 1),
+                )
+                if self._tdc is not None
+                else None
+            ),
+            clock=initial_state(self._clockp["omega"], self._clockp["mu"]),
+        )
+
+    def _step_impl(self, state: DemodState, x_pair: jnp.ndarray, n_valid: jnp.ndarray):
+        cfg = self.config
+        lpf1_state, y1, n1 = _fir_ragged(
+            state.lpf1, x_pair, n_valid, jnp.asarray(self._t1[::-1]), 1,
+            self.max_mid, self.exact,
+        )
+        quad_prev, yq = _quad_demod_ragged(
+            state.quad_prev, y1, n1, cfg.quad_gain, self.use_atan_lut
+        )
+        lpf2_state, y2, n2 = _fir_ragged(
+            state.lpf2, yq[None, :], n1, jnp.asarray(self._t2[::-1]), cfg.decimation,
+            self.max_dec, self.exact,
+        )
+        if self._tdc is not None:
+            dc_state, y3, n3 = _fir_ragged(
+                state.dc, y2, n2, jnp.asarray(self._tdc[::-1]), 1,
+                self.max_dec, self.exact,
+            )
+        else:
+            dc_state, y3, n3 = state.dc, y2, n2
+        p = self._clockp
+        outs, count, clock_state = clock_mm_stream(
+            y3[0],
+            omega=p["omega"],
+            gain_omega=p["gain_omega"],
+            mu=p["mu"],
+            gain_mu=p["gain_mu"],
+            omega_relative_limit=p["omega_relative_limit"],
+            state=state.clock,
+            n_valid=n3,
+        )
+        new_state = DemodState(lpf1_state, quad_prev, lpf2_state, dc_state, clock_state)
+        return new_state, float_to_int8(outs), count
+
+    # ------------------------------------------------------------------
+    # host-side streaming wrapper
+    def streamer(self) -> "DemodStreamer":
+        return DemodStreamer(self)
+
+
+class DemodStreamer:
+    def __init__(self, pipeline: DemodPipeline):
+        self.p = pipeline
+        self.state = pipeline.init_state()
+
+    def process(self, iq: np.ndarray) -> np.ndarray:
+        """complex64 chunk of ANY length -> int8 symbols (may span blocks)."""
+        iq = np.asarray(iq, np.complex64)
+        out = []
+        for start in range(0, len(iq), self.p.block):
+            chunk = iq[start : start + self.p.block]
+            buf = np.zeros((2, self.p.block), np.float32)
+            buf[0, : len(chunk)] = chunk.real
+            buf[1, : len(chunk)] = chunk.imag
+            self.state, symbols, count = self.p._step(
+                self.state, jnp.asarray(buf), jnp.int32(len(chunk))
+            )
+            c = int(count)
+            if c:
+                out.append(np.asarray(symbols)[:c])
+        return np.concatenate(out) if out else np.zeros(0, np.int8)

@@ -1,0 +1,295 @@
+"""End-to-end server integration tests (reference test/test_tcp_server.c):
+real server + mock sdr-server + wire-protocol client in one process."""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from sdrmodem_tpu.server import wire
+from sdrmodem_tpu.server.config import RxSdrType, ServerConfig, TxSdrType
+from sdrmodem_tpu.server.tcp_server import SdrModemServer
+
+from tests.server_helpers import MockSdrServer, ModemClient
+
+
+def run(coro):
+    return asyncio.run(asyncio.wait_for(coro, timeout=120))
+
+
+def make_config(tmp_path, **kw) -> ServerConfig:
+    cfg = ServerConfig()
+    cfg.bind_address = "127.0.0.1"
+    cfg.port = 0
+    cfg.buffer_size = 4096
+    cfg.base_path = str(tmp_path)
+    cfg.read_timeout_seconds = 5
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def rx_request(**kw) -> wire.RxRequest:
+    req = wire.RxRequest(
+        rx_center_freq=437525000,
+        rx_sampling_freq=48000,
+        rx_offset=0,
+        demod_type=wire.ModemType.GMSK,
+        demod_baud_rate=4800,
+        demod_decimation=2,
+        demod_destination=wire.DemodDestination.SOCKET,
+        fsk_settings=wire.FskDemodulationSettings(
+            demod_fsk_deviation=5000, demod_fsk_transition_width=2000,
+            demod_fsk_use_dc_block=True,
+        ),
+    )
+    for k, v in kw.items():
+        setattr(req, k, v)
+    return req
+
+
+def test_ping(tmp_path):
+    async def body():
+        server = SdrModemServer(make_config(tmp_path))
+        await server.start()
+        client = await ModemClient.connect("127.0.0.1", server.port)
+        resp = await client.ping()
+        assert resp.status == wire.ResponseStatus.SUCCESS
+        client.close()
+        await server.stop()
+
+    run(body())
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        dict(demod_type=99),
+        dict(rx_center_freq=0),
+        dict(rx_sampling_freq=0),
+        dict(demod_baud_rate=0),
+        dict(demod_decimation=0),
+        dict(demod_destination=42),
+        dict(fsk_settings=None),
+        dict(doppler=wire.DopplerSettings(tle=["only", "two"])),
+    ],
+)
+def test_invalid_rx_requests(tmp_path, mutate):
+    async def body():
+        server = SdrModemServer(make_config(tmp_path))
+        await server.start()
+        client = await ModemClient.connect("127.0.0.1", server.port)
+        resp = await client.rx_request(rx_request(**mutate))
+        assert resp.status == wire.ResponseStatus.FAILURE
+        assert resp.details == wire.ResponseDetails.INVALID_REQUEST
+        client.close()
+        await server.stop()
+
+    run(body())
+
+
+def test_rx_stream_demod_golden(tmp_path, resources_dir):
+    """Full RX pipeline: mock sdr-server pushes the doppler-corrected
+    capture, client receives int8 soft symbols matching the golden
+    (test_tcp_server.c test_read_data analog)."""
+    iq = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)[:48000]
+    golden = np.fromfile(resources_dir / "lucky7.expected.s8", dtype=np.int8)
+
+    async def body():
+        mock = MockSdrServer()
+        ss_port = await mock.start()
+        config = make_config(
+            tmp_path, rx_sdr_type=RxSdrType.SDR_SERVER, rx_sdr_server_port=ss_port
+        )
+        server = SdrModemServer(config)
+        await server.start()
+
+        client = await ModemClient.connect("127.0.0.1", server.port)
+        resp = await client.rx_request(
+            rx_request(rx_dump_file=True, demod_destination=wire.DemodDestination.BOTH)
+        )
+        assert resp.status == wire.ResponseStatus.SUCCESS
+        client_id = resp.details
+        await mock.wait_client()
+        # sdr-server got the tuning request
+        center, rate, band, dest = mock.requests[0]
+        assert (center, rate, band, dest) == (437525000, 48000, 437525000, 1)
+
+        await mock.send_iq(iq)
+        # 48000 samples -> ~4800 symbols; read what the reference golden says
+        expected_symbols = 4801
+        data = await client.read_stream(expected_symbols)
+        got = np.frombuffer(data, dtype=np.int8)
+        diff = np.abs(got.astype(np.int32) - golden[: len(got)].astype(np.int32))
+        assert diff.max() <= 2
+
+        await client.shutdown()
+        await asyncio.sleep(0.2)
+        # dump files written
+        dump_iq = np.fromfile(tmp_path / f"rx.sdr2demod.{client_id}.cf32", dtype=np.complex64)
+        assert len(dump_iq) == len(iq)
+        dump_sym = np.fromfile(
+            tmp_path / f"rx.demod2client.{client_id}.s8", dtype=np.int8
+        )
+        assert len(dump_sym) >= expected_symbols
+
+        client.close()
+        await mock.stop()
+        await server.stop()
+
+    run(body())
+
+
+def test_multiple_clients_share_sdr_connection(tmp_path, resources_dir):
+    """Two clients with identical tuning share one sdr-server connection
+    (test_tcp_server.c test_multiple_clients)."""
+
+    async def body():
+        mock = MockSdrServer()
+        ss_port = await mock.start()
+        config = make_config(tmp_path, rx_sdr_server_port=ss_port)
+        server = SdrModemServer(config)
+        await server.start()
+
+        c1 = await ModemClient.connect("127.0.0.1", server.port)
+        r1 = await c1.rx_request(rx_request())
+        assert r1.status == wire.ResponseStatus.SUCCESS
+        c2 = await ModemClient.connect("127.0.0.1", server.port)
+        r2 = await c2.rx_request(rx_request())
+        assert r2.status == wire.ResponseStatus.SUCCESS
+        assert len(mock.requests) == 1  # one upstream connection only
+        assert len(server.streams) == 1
+        assert len(server.streams[0].sessions) == 2
+
+        # both receive the same demod stream
+        iq = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)[:24000]
+        await mock.send_iq(iq)
+        d1 = await c1.read_stream(1000)
+        d2 = await c2.read_stream(1000)
+        assert d1 == d2
+
+        await c1.shutdown()
+        await asyncio.sleep(0.2)
+        assert len(server.streams) == 1  # second client keeps it alive
+        await c2.shutdown()
+        await asyncio.sleep(0.3)
+        assert len(server.streams) == 0  # cascade teardown
+        c1.close()
+        c2.close()
+        await mock.stop()
+        await server.stop()
+
+    run(body())
+
+
+def test_file_tx_then_rx_loopback(tmp_path):
+    """TX to a file device, then demodulate that file back — the
+    reference's test_file_data flow (test_tcp_server.c:435-480)."""
+    payload = bytes(b"\xca\xfe\x01\x02\x03\x04\x05\x06\x07\x08" * 40)
+
+    async def body():
+        tx_file = tmp_path / "tx.cf32"
+        config = make_config(
+            tmp_path, tx_sdr_type=TxSdrType.FILE, rx_sdr_type=RxSdrType.FILE
+        )
+        server = SdrModemServer(config)
+        await server.start()
+
+        tx = await ModemClient.connect("127.0.0.1", server.port)
+        resp = await tx.tx_request(
+            wire.TxRequest(
+                tx_center_freq=437525000,
+                tx_sampling_freq=48000,
+                tx_offset=0,
+                mod_type=wire.ModemType.GMSK,
+                mod_baud_rate=9600,
+                fsk_settings=wire.FskModulationSettings(mod_fsk_deviation=5000),
+                file_settings=wire.FileSettings(filename=str(tx_file)),
+            )
+        )
+        assert resp.status == wire.ResponseStatus.SUCCESS
+        ack = await tx.tx_data(payload)
+        assert ack.status == wire.ResponseStatus.SUCCESS
+        await tx.shutdown()
+        await asyncio.sleep(0.2)
+
+        assert tx_file.exists() and tx_file.stat().st_size > 0
+
+        rx = await ModemClient.connect("127.0.0.1", server.port)
+        resp = await rx.rx_request(
+            rx_request(
+                rx_sampling_freq=48000,
+                demod_baud_rate=9600,
+                demod_decimation=1,
+                fsk_settings=wire.FskDemodulationSettings(
+                    demod_fsk_deviation=5000,
+                    demod_fsk_transition_width=2000,
+                    demod_fsk_use_dc_block=False,
+                ),
+                file_settings=wire.FileSettings(filename=str(tx_file)),
+            )
+        )
+        assert resp.status == wire.ResponseStatus.SUCCESS
+        n_bits = len(payload) * 8
+        data = await rx.read_stream(n_bits - 32)
+        soft = np.frombuffer(data, dtype=np.int8)
+        bits_tx = np.unpackbits(np.frombuffer(payload, np.uint8)).astype(np.int8) * 2 - 1
+        hard = np.sign(soft).astype(np.int8)
+        best = 0.0
+        for off in range(0, 64):
+            n = min(len(hard) - off, len(bits_tx))
+            best = max(best, float((hard[off : off + n] == bits_tx[:n]).mean()))
+        assert best > 0.995, f"loopback BER {1-best:.4f}"
+        await rx.shutdown()
+        rx.close()
+        tx.close()
+        await server.stop()
+
+    run(body())
+
+
+def test_tx_busy(tmp_path):
+    async def body():
+        config = make_config(tmp_path, tx_sdr_type=TxSdrType.FILE)
+        server = SdrModemServer(config)
+        await server.start()
+        req = wire.TxRequest(
+            tx_center_freq=437525000,
+            tx_sampling_freq=48000,
+            mod_type=wire.ModemType.GMSK,
+            mod_baud_rate=9600,
+            fsk_settings=wire.FskModulationSettings(mod_fsk_deviation=5000),
+            file_settings=wire.FileSettings(filename=str(tmp_path / "a.cf32")),
+        )
+        c1 = await ModemClient.connect("127.0.0.1", server.port)
+        r1 = await c1.tx_request(req)
+        assert r1.status == wire.ResponseStatus.SUCCESS
+        c2 = await ModemClient.connect("127.0.0.1", server.port)
+        r2 = await c2.tx_request(req)
+        assert r2.status == wire.ResponseStatus.FAILURE
+        assert r2.details == wire.ResponseDetails.TX_IS_BEING_USED
+        await c1.shutdown()
+        c1.close()
+        c2.close()
+        await server.stop()
+
+    run(body())
+
+
+def test_tx_not_supported(tmp_path):
+    async def body():
+        server = SdrModemServer(make_config(tmp_path, tx_sdr_type=TxSdrType.NONE))
+        await server.start()
+        c = await ModemClient.connect("127.0.0.1", server.port)
+        r = await c.tx_request(
+            wire.TxRequest(
+                tx_center_freq=1, tx_sampling_freq=1, mod_type=wire.ModemType.GMSK,
+                mod_baud_rate=1, fsk_settings=wire.FskModulationSettings(1),
+            )
+        )
+        assert r.status == wire.ResponseStatus.FAILURE
+        assert r.details == wire.ResponseDetails.INVALID_REQUEST
+        c.close()
+        await server.stop()
+
+    run(body())
