@@ -1,16 +1,21 @@
 #!/usr/bin/env python3
 """Benchmark: batched GMSK demod throughput per chip vs the C reference.
 
-Headline metric (BASELINE.md): fsk_demod Msamples/s. The reference's
-single-core numbers on the same chain/parameters (Fs=48k, baud=4800,
-dev=5k, decim=2, DC on): 11.0 Msamples/s (MacBook Air M1, volk generic).
+Headline metric (BASELINE.md): fsk_demod Msamples/s on the reference's own
+parameters (Fs=48k, baud=4800, dev=5k, decim=2, DC on).  Reference
+single-core numbers: 11.0 Msamples/s (MacBook Air M1, volk generic).
 
-TPU-native measurement: the demod chain is jit-compiled once and run over a
-batch of channels (the reference's thread-per-client model maps to the
-channel batch axis), fast float32 path. Prints ONE JSON line.
+Methodology: the ragged-block streaming pipeline (the same program the
+server runs, float32 fast path, no complex dtype) is jit-compiled once and
+vmapped over a channel batch — the reference's thread-per-client model
+mapped to the TPU batch axis.  K dependent steps are dispatched (state
+threads through, so they execute back-to-back on device) and the final
+symbol count is fetched to force completion; wall time covers the full
+chain.  Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -20,41 +25,60 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from sdrmodem_tpu import FskDemodConfig, FskDemodulator
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+
+    from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig
+    from sdrmodem_tpu.dsp.pipeline import DemodPipeline
 
     baseline_msps = 11.0  # reference/test/perf_fsk_modem.c:100-104 (M1 single core)
 
-    channels = int(__import__("os").environ.get("SDRM_BENCH_CHANNELS", "64"))
-    block = 4096 * 24  # samples per channel per step
-    cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
-    dem = FskDemodulator(cfg, exact=False)
+    channels = int(os.environ.get("SDRM_BENCH_CHANNELS", "64"))
+    block = int(os.environ.get("SDRM_BENCH_BLOCK", str(4096 * 8)))
+    iters = int(os.environ.get("SDRM_BENCH_ITERS", "8"))
 
-    rng = np.random.default_rng(0)
+    cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
+    pipe = DemodPipeline(cfg, block, exact=False)
+
+    # input: the recorded capture tiled across channels/time (falls back to
+    # noise when the fixture tree is absent)
     try:
-        iq_src = np.fromfile(
+        iq = np.fromfile(
             "/root/reference/test/resources/lucky7.expected.cf32", dtype=np.complex64
         )
-        reps = int(np.ceil(channels * block / len(iq_src)))
-        iq = np.tile(iq_src, reps)[: channels * block].reshape(channels, block)
     except FileNotFoundError:
-        iq = (
-            rng.standard_normal((channels, block)) + 1j * rng.standard_normal((channels, block))
-        ).astype(np.complex64)
+        rng = np.random.default_rng(0)
+        iq = (rng.standard_normal(1 << 17) + 1j * rng.standard_normal(1 << 17)).astype(
+            np.complex64
+        )
+    reps = int(np.ceil(channels * block / len(iq)))
+    tiled = np.tile(iq, reps)[: channels * block].reshape(channels, block)
+    x = np.stack([tiled.real, tiled.imag], axis=1).astype(np.float32)  # (C, 2, B)
+    x = jnp.asarray(x)
+    n_valid = jnp.full((channels,), block, jnp.int32)
 
-    x = jnp.asarray(iq)
-    step = jax.jit(lambda v: dem.process(v)[:2])
-    out, count = step(x)  # compile + warm up
-    jax.block_until_ready(out)
+    step = jax.jit(jax.vmap(pipe._step_impl))
+    state = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (channels,) + a.shape), pipe.init_state()
+    )
 
-    iters = 5
+    # warm-up / compile
+    state, symbols, count = step(state, x, n_valid)
+    _ = int(np.asarray(count).sum())
+
     t0 = time.perf_counter()
+    s = state
+    total = 0
     for _ in range(iters):
-        out, count = step(x)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+        s, symbols, count = step(s, x, n_valid)
+    total = int(np.asarray(count).sum())  # forces the whole chain
+    dt = time.perf_counter() - t0
 
-    samples = channels * block
+    samples = channels * block * iters
     msps = samples / dt / 1e6
+    assert total > 0
     print(
         json.dumps(
             {

@@ -26,6 +26,7 @@ import numpy as np
 
 from sdrmodem_tpu.devices.base import SdrDevice
 from sdrmodem_tpu.devices.iio_lib import CtypesIioLib, IioError, IioLib
+from sdrmodem_tpu.utils import native
 
 MIN_NO_FIR_FILTER = 2083334  # 25e6/12 + 1
 MIN_FIR_FILTER_2 = 1041667  # MIN_NO_FIR_FILTER / 2
@@ -204,7 +205,9 @@ class PlutoSdr(SdrDevice):
             return None
         if not raw:
             return None
-        samples = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / np.float32(2048.0)
+        # 12-bit ADC scale 2048 (volk_16i_s32f_convert_32f analog); native
+        # C++ conversion when built, numpy otherwise
+        samples = native.int16_to_float(np.frombuffer(raw, dtype=np.int16), 2048.0)
         return (samples[0::2] + 1j * samples[1::2]).astype(np.complex64)
 
     async def write_stream(self, iq: np.ndarray) -> None:
@@ -214,7 +217,7 @@ class PlutoSdr(SdrDevice):
         interleaved = np.empty(2 * len(iq), np.float32)
         interleaved[0::2] = iq.real
         interleaved[1::2] = iq.imag
-        data = np.clip(interleaved * np.float32(32768.0), -32768, 32767).astype("<i2")
+        data = native.float_to_int16(interleaved, 32768.0)
         code = await asyncio.to_thread(self.lib.buffer_push, self.tx_buffer, data.tobytes())
         if code < 0:
             raise PlutoSdrError(f"unable to push tx buffer: {code}")
