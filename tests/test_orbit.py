@@ -75,3 +75,19 @@ def test_theta_g_jd_range():
     jd = julian_date(1583840449)
     th = theta_g_jd(jd)
     assert 0.0 <= th < 2 * np.pi
+
+
+def test_solar_position_and_eclipse():
+    # reference test_sgp4_001.c test_solar / test_eclipse
+    from sdrmodem_tpu.orbit.solar import sat_eclipsed, solar_position
+
+    x, y, z, w = solar_position(2458918.986678)
+    assert abs(x - 146496240.579853) < 5.0  # km, low-precision ephemeris
+    assert abs(y - -22805185.677903) < 5.0
+    assert abs(z - -9885914.456200) < 5.0
+    assert abs(w - 148589893.002415) < 5.0
+    eclipsed, depth = sat_eclipsed(
+        (2328.970688, -5995.220856, 1719.970681), 6657.708068, (x, y, z, w)
+    )
+    assert not eclipsed
+    assert abs(depth - -0.780165) < 1e-5

@@ -1,0 +1,98 @@
+"""Wire codec interop: our hand-written proto2 codec must be byte-compatible
+with protobuf code generated from the reference's api.proto."""
+
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from sdrmodem_tpu.server import wire
+
+
+def test_header_framing():
+    payload = b"\x01\x02\x03"
+    framed = wire.frame(wire.MsgType.TX_DATA, payload)
+    assert framed[:3] == bytes([0, 4, 0])  # version, type, BE length hi
+    version, msg_type, length = wire.parse_header(framed[:6])
+    assert (version, msg_type, length) == (0, 4, 3)
+    assert framed[6:] == payload
+
+
+def test_roundtrip_all_messages():
+    rx = wire.RxRequest(
+        rx_center_freq=437525000, rx_sampling_freq=48000, rx_dump_file=True,
+        rx_offset=-12000, demod_type=1, demod_baud_rate=4800, demod_decimation=2,
+        demod_destination=wire.DemodDestination.BOTH,
+        doppler=wire.DopplerSettings(tle=["A", "B", "C"], latitude=537200000,
+                                     longitude=475700000, altitude=120),
+        fsk_settings=wire.FskDemodulationSettings(-5000, 2000, True),
+        file_settings=wire.FileSettings("/tmp/x.cf32", 1583840449),
+    )
+    assert wire.RxRequest.decode(rx.encode()) == rx
+    tx = wire.TxRequest(
+        tx_center_freq=437525000, tx_sampling_freq=19200, tx_offset=3000,
+        mod_baud_rate=9600, fsk_settings=wire.FskModulationSettings(5000),
+    )
+    assert wire.TxRequest.decode(tx.encode()) == tx
+    assert wire.Response.decode(wire.Response(1, 4).encode()) == wire.Response(1, 4)
+    assert wire.TxData.decode(wire.TxData(b"hello").encode()).data == b"hello"
+
+
+def test_negative_int64_encoding():
+    fsk = wire.FskDemodulationSettings(demod_fsk_deviation=-5000)
+    out = wire.FskDemodulationSettings.decode(fsk.encode())
+    assert out.demod_fsk_deviation == -5000
+
+
+@pytest.fixture(scope="module")
+def api_pb2(reference_dir, tmp_path_factory):
+    if shutil.which("protoc") is None:
+        pytest.skip("protoc not available")
+    out = tmp_path_factory.mktemp("pb")
+    shutil.copy(reference_dir / "api.proto", out / "api.proto")
+    subprocess.run(
+        ["protoc", f"--python_out={out}", "api.proto"], cwd=out, check=True
+    )
+    sys.path.insert(0, str(out))
+    try:
+        import api_pb2 as mod
+
+        yield mod
+    finally:
+        sys.path.remove(str(out))
+        sys.modules.pop("api_pb2", None)
+
+
+def test_interop_with_protoc(api_pb2):
+    rx = wire.RxRequest(
+        rx_center_freq=437525000, rx_sampling_freq=48000, rx_dump_file=True,
+        rx_offset=-12000, demod_type=1, demod_baud_rate=4800, demod_decimation=2,
+        demod_destination=wire.DemodDestination.BOTH,
+        doppler=wire.DopplerSettings(tle=["A", "B", "C"], latitude=537200000,
+                                     longitude=475700000, altitude=0),
+        fsk_settings=wire.FskDemodulationSettings(-5000, 2000, True),
+        file_settings=wire.FileSettings("/tmp/x.cf32", 1583840449),
+    )
+    ref = api_pb2.RxRequest()
+    ref.ParseFromString(rx.encode())
+    assert ref.rx_center_freq == rx.rx_center_freq
+    assert ref.rx_offset == -12000
+    assert ref.fsk_settings.demod_fsk_deviation == -5000
+    assert list(ref.doppler.tle) == ["A", "B", "C"]
+    assert ref.file_settings.start_time_seconds == 1583840449
+    # decode their bytes
+    assert wire.RxRequest.decode(ref.SerializeToString()) == rx
+
+    resp = api_pb2.Response()
+    resp.status = 1
+    resp.details = 4
+    assert wire.Response.decode(resp.SerializeToString()) == wire.Response(1, 4)
+
+    tx = wire.TxRequest(
+        tx_center_freq=1, tx_sampling_freq=2, mod_baud_rate=3,
+        fsk_settings=wire.FskModulationSettings(5000),
+    )
+    reftx = api_pb2.TxRequest()
+    reftx.ParseFromString(tx.encode())
+    assert reftx.fsk_settings.mod_fsk_deviation == 5000
