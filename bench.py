@@ -38,6 +38,9 @@ def main() -> None:
     channels = int(os.environ.get("SDRM_BENCH_CHANNELS", "64"))
     block = int(os.environ.get("SDRM_BENCH_BLOCK", str(4096 * 8)))
     iters = int(os.environ.get("SDRM_BENCH_ITERS", "8"))
+    clock_backend = os.environ.get("SDRM_BENCH_CLOCK", "pallas")
+    if jax.devices()[0].platform == "cpu":
+        clock_backend = "scan"  # Mosaic kernels need a TPU
 
     cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
     pipe = DemodPipeline(cfg, block, exact=False)
@@ -59,7 +62,7 @@ def main() -> None:
     x = jnp.asarray(x)
     n_valid = jnp.full((channels,), block, jnp.int32)
 
-    step = jax.jit(jax.vmap(pipe._step_impl))
+    step = pipe.make_batched_step(clock_backend)
     state = jax.tree.map(
         lambda a: jnp.broadcast_to(a, (channels,) + a.shape), pipe.init_state()
     )

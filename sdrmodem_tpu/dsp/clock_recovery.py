@@ -196,3 +196,68 @@ def clock_mm_stream(
 
     new_state = ClockState(omega_f, mu_f, last_f, tail, tail_len.astype(jnp.int32))
     return outs, count, new_state
+
+
+def clock_mm_batched_pallas(
+    x: jnp.ndarray,  # (C, N) float32
+    n_valid: jnp.ndarray,  # (C,) int32
+    state: ClockState,  # batched: leaves with leading (C,)
+    *,
+    omega: float,
+    gain_omega: float,
+    mu: float = 0.5,
+    gain_mu: float = 0.0625,
+    omega_relative_limit: float = 0.01,
+    num_symbols: int | None = None,
+    interpret: bool = False,
+):
+    """Batched M&M via the Pallas TPU kernel (all channels in one call).
+
+    Same stream semantics / state hand-off as ``clock_mm_stream``; the
+    interpolator bank is evaluated as Farrow polynomials (tap error <6e-7).
+    """
+    from sdrmodem_tpu.ops.pallas_clock import clock_mm_tpu
+
+    c, n = x.shape
+    omega_mid = np.float32(omega)
+    if num_symbols is None:
+        num_symbols = max_symbols(n + TAIL_CAP, float(omega_mid), omega_relative_limit, gain_mu)
+
+    # assemble [tail[:tail_len], x, zeros] per channel
+    work = jnp.concatenate(
+        [state.tail, x.astype(jnp.float32), jnp.zeros((c, TAIL_CAP), jnp.float32)],
+        axis=1,
+    )
+    w = work.shape[1]
+    i = jnp.arange(w)[None, :]
+    tl = state.tail_len[:, None]
+    idx = jnp.where(i < tl, i, jnp.minimum(i + (TAIL_CAP - tl), w - 1))
+    work = jnp.take_along_axis(work, idx, axis=1)
+    base_valid = state.tail_len + n_valid.astype(jnp.int32)
+    work = jnp.where(i < base_valid[:, None], work, 0.0)
+
+    outs, counts, fin = clock_mm_tpu(
+        work,
+        base_valid,
+        state.omega,
+        state.mu,
+        state.last_sample,
+        omega_mid=float(omega_mid),
+        omega_relative_limit=omega_relative_limit,
+        gain_omega=gain_omega,
+        gain_mu=gain_mu,
+        num_symbols=int(num_symbols),
+        interpret=interpret,
+    )
+
+    last_index = jnp.minimum(fin["ii"], base_valid)
+    tail_len = jnp.clip(base_valid - last_index, 0, TAIL_CAP)
+    start = jnp.clip(last_index, 0, w - TAIL_CAP).astype(jnp.int32)
+    tail = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (TAIL_CAP,)))(
+        work, start
+    )
+    tail = jnp.where(jnp.arange(TAIL_CAP)[None, :] < tail_len[:, None], tail, 0.0)
+    new_state = ClockState(
+        fin["omega"], fin["mu"], fin["last"], tail, tail_len.astype(jnp.int32)
+    )
+    return outs, counts, new_state

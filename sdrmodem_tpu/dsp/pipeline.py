@@ -192,6 +192,61 @@ class DemodPipeline:
         new_state = DemodState(lpf1_state, quad_prev, lpf2_state, dc_state, clock_state)
         return new_state, float_to_int8(outs), count
 
+    def _front_impl(self, state: DemodState, x_pair: jnp.ndarray, n_valid: jnp.ndarray):
+        """Filter front-end only (everything before clock recovery)."""
+        cfg = self.config
+        lpf1_state, y1, n1 = _fir_ragged(
+            state.lpf1, x_pair, n_valid, jnp.asarray(self._t1[::-1]), 1,
+            self.max_mid, self.exact,
+        )
+        quad_prev, yq = _quad_demod_ragged(
+            state.quad_prev, y1, n1, cfg.quad_gain, self.use_atan_lut
+        )
+        lpf2_state, y2, n2 = _fir_ragged(
+            state.lpf2, yq[None, :], n1, jnp.asarray(self._t2[::-1]), cfg.decimation,
+            self.max_dec, self.exact,
+        )
+        if self._tdc is not None:
+            dc_state, y3, n3 = _fir_ragged(
+                state.dc, y2, n2, jnp.asarray(self._tdc[::-1]), 1,
+                self.max_dec, self.exact,
+            )
+        else:
+            dc_state, y3, n3 = state.dc, y2, n2
+        return (lpf1_state, quad_prev, lpf2_state, dc_state), y3[0], n3
+
+    def make_batched_step(self, clock_backend: str = "scan", *, interpret: bool = False):
+        """Batched (channel-axis) step.  ``clock_backend='pallas'`` runs the
+        M&M loop as one channel-vectorised Pallas kernel (TPU production
+        path); ``'scan'`` vmaps the lax.scan (parity path, any backend)."""
+        from sdrmodem_tpu.dsp.clock_recovery import clock_mm_batched_pallas
+
+        p = self._clockp
+
+        def step(state: DemodState, x: jnp.ndarray, n_valid: jnp.ndarray):
+            front_states, y3, n3 = jax.vmap(self._front_impl)(state, x, n_valid)
+            if clock_backend == "pallas":
+                outs, counts, clock_state = clock_mm_batched_pallas(
+                    y3, n3, state.clock,
+                    omega=p["omega"], gain_omega=p["gain_omega"], mu=p["mu"],
+                    gain_mu=p["gain_mu"],
+                    omega_relative_limit=p["omega_relative_limit"],
+                    interpret=interpret,
+                )
+            else:
+                outs, counts, clock_state = jax.vmap(
+                    lambda d, s, n: clock_mm_stream(
+                        d, state=s, n_valid=n,
+                        omega=p["omega"], gain_omega=p["gain_omega"], mu=p["mu"],
+                        gain_mu=p["gain_mu"],
+                        omega_relative_limit=p["omega_relative_limit"],
+                    )
+                )(y3, state.clock, n3)
+            new_state = DemodState(*front_states, clock_state)
+            return new_state, float_to_int8(outs), counts
+
+        return jax.jit(step)
+
     # ------------------------------------------------------------------
     # host-side streaming wrapper
     def streamer(self) -> "DemodStreamer":

@@ -1,0 +1,247 @@
+"""Pallas TPU kernel: Mueller & Müller clock recovery, channel-vectorised.
+
+The XLA ``lax.scan`` formulation costs ~100 µs per symbol step on the TPU
+(per-step loop/gather overhead dominates); this kernel runs the whole
+sequential loop on-core with every operand VMEM-resident and all channels
+advancing together in the 128 vector lanes.
+
+Per-lane dynamic windowing (each channel reads x[ii_c .. ii_c+7]) has no
+native TPU gather, so the kernel uses a masked one-hot extraction over a
+small sliding tile:
+
+- a (TILE, C) tile of the soft stream is kept in VMEM scratch and
+  re-based forward whenever any channel's read pointer approaches its
+  end (symbol positions advance ~sps rows/step, so re-basing is rare
+  and amortised);
+- per symbol, the 8 interpolator taps are placed at each lane's local
+  offset with iota==offset masks and the windowed dot product becomes a
+  (TILE, C) multiply + column reduction on the VPU;
+- the 129-row MMSE bank is evaluated as 8 degree-7 polynomials in the
+  *quantised* mu (mu_q = rint(mu*128)/128), which reproduces the table
+  to <6e-7 — the table's own literal precision — so numerics match the
+  scan/reference path.
+
+State {omega, mu, last, ii} lives in (1, C) rows; validity masking
+matches the scan formulation (a lane freezes once ii > n_valid - 8).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sdrmodem_tpu.dsp import taps as taps_mod
+
+LANES = 128
+NTAPS = 8
+POLY_DEG = 7
+
+
+@functools.lru_cache(maxsize=None)
+def bank_poly_coeffs() -> np.ndarray:
+    """(POLY_DEG+1, 8) float32: column j = coeffs (highest first) of tap j."""
+    banks = taps_mod.mmse_interp_taps()  # (129, 8)
+    mu = np.arange(129) / 128.0
+    coeffs = np.stack(
+        [np.polyfit(mu, banks[:, j], POLY_DEG) for j in range(NTAPS)], axis=1
+    )
+    return coeffs.astype(np.float32)
+
+
+def _mm_kernel(
+    y_ref,  # (Lp, C) f32
+    nvalid_ref,  # (1, C) f32
+    state_ref,  # (8, C) f32 rows: omega, mu, last, ii (rest padding)
+    poly_ref,  # (8, 8) f32  [POLY_DEG+1=8 coeffs x 8 taps]
+    outs_ref,  # (K, C) f32
+    counts_ref,  # (8, C) f32 row0 = count
+    state_out_ref,  # (8, C) f32
+    tile_ref,  # scratch (TILE, C) f32
+    *,
+    num_symbols: int,
+    tile: int,
+    omega_mid: float,
+    omega_lim: float,
+    gain_omega: float,
+    gain_mu: float,
+):
+    c = y_ref.shape[1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile, c), 0)
+
+    tile_ref[:, :] = y_ref[pl.ds(0, tile), :]
+
+    def body(k, carry):
+        omega, mu, last, ii, count, base = carry
+
+        # rebase the tile so every lane's window fits inside it
+        local_max = jnp.max(ii - base)
+        need = local_max + NTAPS > jnp.float32(tile)
+        base = jnp.where(need, base + jnp.float32(tile // 2), base)
+
+        @pl.when(need)
+        def _():
+            tile_ref[:, :] = y_ref[pl.ds(base.astype(jnp.int32), tile), :]
+
+        local = (ii - base).astype(jnp.int32)  # (C,) in [0, tile-8]
+
+        # interpolator taps at quantised mu via the Farrow polynomials
+        mu_q = jnp.round(mu * 128.0) * jnp.float32(1.0 / 128.0)
+        taps = jnp.broadcast_to(poly_ref[0, :][:, None], (NTAPS, c))
+        for i in range(1, POLY_DEG + 1):
+            taps = taps * mu_q[None, :] + poly_ref[i, :][:, None]
+
+        # masked one-hot window extraction + dot product.  NaNs are handled
+        # explicitly: the C dot product is NaN when ANY of the 8 window
+        # samples is NaN (even under a zero tap), but a NaN elsewhere in
+        # the tile must not leak in — so the data is sanitised and the NaN
+        # predicate computed from an unweighted window mask.
+        sel = jnp.zeros((tile, c), jnp.float32)
+        msel = jnp.zeros((tile, c), jnp.float32)
+        for j in range(NTAPS):
+            hit = rows == (local + j)[None, :]
+            sel = sel + jnp.where(hit, taps[j][None, :], 0.0)
+            msel = msel + jnp.where(hit, jnp.float32(1.0), 0.0)
+        data = tile_ref[:, :]
+        nanmask = jnp.isnan(data)
+        y = jnp.sum(sel * jnp.where(nanmask, jnp.float32(0.0), data), axis=0)
+        window_nan = jnp.sum(msel * nanmask.astype(jnp.float32), axis=0) > 0.0
+
+        valid = ii <= nvalid_ref[0, :] - jnp.float32(NTAPS)
+        is_nan = window_nan
+        out = jnp.where(is_nan, jnp.float32(0.0), y)
+
+        sgn_last = jnp.where(last < 0, jnp.float32(-1.0), jnp.float32(1.0))
+        sgn_out = jnp.where(out < 0, jnp.float32(-1.0), jnp.float32(1.0))
+        mm = sgn_last * out - sgn_out * last
+        omega_n = omega + jnp.float32(gain_omega) * mm
+        dev = omega_n - jnp.float32(omega_mid)
+        clip = jnp.float32(omega_lim)
+        omega_n = jnp.float32(omega_mid) + jnp.float32(0.5) * (
+            jnp.abs(dev + clip) - jnp.abs(dev - clip)
+        )
+        mu_n = mu + omega_n + jnp.float32(gain_mu) * mm
+        stride_n = jnp.floor(mu_n)
+        mu_n = mu_n - stride_n
+
+        new_mu = jnp.where(is_nan, mu, mu_n)
+        new_omega = jnp.where(is_nan, omega, omega_n)
+        new_last = jnp.where(is_nan, last, out)
+        stride = jnp.where(is_nan, jnp.floor(omega), stride_n)
+
+        outs_ref[k, :] = jnp.where(valid, out, 0.0)
+
+        omega = jnp.where(valid, new_omega, omega)
+        mu = jnp.where(valid, new_mu, mu)
+        last = jnp.where(valid, new_last, last)
+        ii = jnp.where(valid, ii + stride, ii)
+        count = count + valid.astype(jnp.float32)
+        return omega, mu, last, ii, count, base
+
+    omega0 = state_ref[0, :]
+    mu0 = state_ref[1, :]
+    last0 = state_ref[2, :]
+    ii0 = state_ref[3, :]
+    count0 = jnp.zeros((c,), jnp.float32)
+    # int32 loop bounds: with jax_enable_x64 the default python-int bounds
+    # would make the loop index int64, which Mosaic cannot vectorise
+    omega, mu, last, ii, count, _ = jax.lax.fori_loop(
+        jnp.int32(0),
+        jnp.int32(num_symbols),
+        body,
+        (omega0, mu0, last0, ii0, count0, jnp.float32(0.0)),
+    )
+    counts_ref[0, :] = count
+    counts_ref[1:, :] = jnp.zeros((7, c), jnp.float32)
+    state_out_ref[0, :] = omega
+    state_out_ref[1, :] = mu
+    state_out_ref[2, :] = last
+    state_out_ref[3, :] = ii
+    state_out_ref[4:, :] = jnp.zeros((4, c), jnp.float32)
+
+
+def clock_mm_tpu(
+    y: jnp.ndarray,  # (C, L) float32 soft stream (history already prepended)
+    n_valid: jnp.ndarray,  # (C,) int32
+    omega: jnp.ndarray,  # (C,)
+    mu: jnp.ndarray,  # (C,)
+    last: jnp.ndarray,  # (C,)
+    *,
+    omega_mid: float,
+    omega_relative_limit: float,
+    gain_omega: float,
+    gain_mu: float,
+    num_symbols: int,
+    tile: int = 512,
+    interpret: bool = False,
+):
+    """Returns (outs (C, K), counts (C,) i32, final {omega, mu, last, ii (C,)}).
+
+    Semantics match ``clock_mm_stream``'s scan (same masking and NaN
+    branch); the interpolator uses the Farrow-polynomial bank (max tap
+    error 6e-7 vs the table).
+    """
+    ch, length = y.shape
+    if ch > LANES:
+        raise ValueError("clock_mm_tpu handles up to 128 channels per call")
+    lp = -(-length // 8) * 8 + tile  # headroom for the final rebase slice
+    yt = jnp.zeros((lp, LANES), jnp.float32)
+    yt = jax.lax.dynamic_update_slice(yt, y.T.astype(jnp.float32), (0, 0))
+
+    nv = jnp.zeros((1, LANES), jnp.float32)
+    nv = jax.lax.dynamic_update_slice(nv, n_valid.astype(jnp.float32)[None, :], (0, 0))
+
+    state = jnp.zeros((8, LANES), jnp.float32)
+    for i, v in enumerate((omega, mu, last)):
+        state = jax.lax.dynamic_update_slice(
+            state, v.astype(jnp.float32)[None, :], (i, 0)
+        )
+
+    poly = jnp.asarray(bank_poly_coeffs())  # (8, 8)
+
+    lim = float(np.float32(omega_mid) * np.float32(omega_relative_limit))
+    # trace the kernel in strict 32-bit mode: the package enables x64 for
+    # the orbital layer, but Mosaic only vectorises <=32-bit lanes
+    with jax.enable_x64(False):
+        outs, counts, state_out = pl.pallas_call(
+            functools.partial(
+            _mm_kernel,
+            num_symbols=num_symbols,
+            tile=tile,
+            omega_mid=float(np.float32(omega_mid)),
+            omega_lim=lim,
+            gain_omega=float(np.float32(gain_omega)),
+            gain_mu=float(np.float32(gain_mu)),
+            ),
+            out_shape=(
+            jax.ShapeDtypeStruct((num_symbols, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+            ),
+            in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM((tile, LANES), jnp.float32)],
+            interpret=interpret,
+        )(yt, nv, state, poly)
+
+    final = dict(
+        omega=state_out[0, :ch],
+        mu=state_out[1, :ch],
+        last=state_out[2, :ch],
+        ii=state_out[3, :ch].astype(jnp.int32),
+    )
+    return outs[:, :ch].T, counts[0, :ch].astype(jnp.int32), final

@@ -60,18 +60,25 @@ def _fir_nodecim(
     )(starts)  # (k_tiles, block_rows, C)
 
     taps_arr = jnp.asarray(np.asarray(rev_taps, np.float32)).reshape(1, t, 1)
+    # strict 32-bit tracing (Mosaic requires <=32-bit; x64 is on globally)
+    with jax.enable_x64(False):
+        out = _call(frames, taps_arr, tile_k, t, k_tiles, block_rows, c, interpret)
+    return out.reshape(k_tiles * tile_k, c)[:n_out]
+
+
+def _call(frames, taps_arr, tile_k, t, k_tiles, block_rows, c, interpret):
     out = pl.pallas_call(
         functools.partial(_fir_kernel, tile_k=tile_k, t=t),
         out_shape=jax.ShapeDtypeStruct((k_tiles, tile_k, c), jnp.float32),
         grid=(k_tiles,),
         in_specs=[
-            pl.BlockSpec((1, block_rows, c), lambda i: (i, 0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((1, t, 1), lambda i: (0, 0, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec((1, block_rows, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tile_k, c), lambda i: (i, 0, 0), memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec((1, tile_k, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(frames, taps_arr)
-    return out.reshape(k_tiles * tile_k, c)[:n_out]
+    return out
 
 
 def fir_tpu(

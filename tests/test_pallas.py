@@ -1,0 +1,125 @@
+"""Pallas TPU kernels vs the XLA reference paths (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sdrmodem_tpu.dsp import taps as T
+from sdrmodem_tpu.dsp.clock_recovery import (
+    clock_mm_batched_pallas, clock_mm_stream, initial_state, max_symbols, mm_params,
+)
+from sdrmodem_tpu.dsp.fir import fir_stream
+from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig
+from sdrmodem_tpu.dsp.pipeline import DemodPipeline
+from sdrmodem_tpu.ops.pallas_clock import clock_mm_tpu
+from sdrmodem_tpu.ops.pallas_fir import fir_tpu
+
+RNG = np.random.default_rng(5)
+
+
+@pytest.mark.parametrize("decim", [1, 2, 4])
+def test_pallas_fir_matches_stream(decim):
+    taps = T.low_pass_taps(1.0, 48000, 7400, 740)
+    x = RNG.standard_normal((1500, 128)).astype(np.float32)
+    ref = np.asarray(fir_stream(jnp.asarray(x.T), taps, decim)).T
+    got = np.asarray(fir_tpu(jnp.asarray(x), taps, decim, tile_k=256, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def _soft_signals(c, n, sps=4.8):
+    bits = RNG.integers(0, 2, (c, int(n / sps) + 8)) * 2.0 - 1.0
+    k = np.hanning(9) / 4.5
+    return np.stack(
+        [np.convolve(np.repeat(bits[i], 5)[:n], k, mode="same") for i in range(c)]
+    ).astype(np.float32)
+
+
+def test_pallas_clock_matches_scan():
+    p = mm_params(4.8)
+    c, n = 6, 2500
+    y = _soft_signals(c, n)
+    y[3, 400:430] = np.nan
+    k = max_symbols(n, p["omega"], p["omega_relative_limit"], p["gain_mu"])
+    outs, counts, fin = clock_mm_tpu(
+        jnp.asarray(y), jnp.full((c,), n, jnp.int32),
+        jnp.full((c,), p["omega"], jnp.float32),
+        jnp.full((c,), p["mu"], jnp.float32),
+        jnp.zeros((c,), jnp.float32),
+        omega_mid=p["omega"], omega_relative_limit=p["omega_relative_limit"],
+        gain_omega=p["gain_omega"], gain_mu=p["gain_mu"],
+        num_symbols=k, interpret=True,
+    )
+    outs, counts = np.asarray(outs), np.asarray(counts)
+    for ch in range(c):
+        o, cnt, _ = clock_mm_stream(jnp.asarray(y[ch]), **p)
+        ref = np.asarray(o)[: int(cnt)]
+        got = outs[ch][: counts[ch]]
+        assert abs(len(got) - len(ref)) <= 2
+        # the kernel's Farrow bank differs from the table by <6e-7 per tap;
+        # through the chaotic M&M feedback a sub-ulp difference can flip a
+        # timing decision far downstream (the same effect the reference's
+        # ±2 LSB cross-machine policy absorbs), so assert a long exact
+        # prefix in the golden int8 domain
+        n_cmp = min(len(got), len(ref))
+        gi = np.round(np.clip(got[:n_cmp] * 127, -128, 127))
+        ri = np.round(np.clip(ref[:n_cmp] * 127, -128, 127))
+        bad = np.abs(gi - ri) > 2
+        first_flip = int(np.argmax(bad)) if bad.any() else n_cmp
+        assert first_flip > 100, f"ch{ch} diverges at symbol {first_flip}"
+
+
+def test_pallas_clock_batched_state_handoff():
+    """Chunked pallas clock with carried state == whole-stream scan."""
+    p = mm_params(5.0)
+    c, n = 4, 3000
+    y = _soft_signals(c, n, 5.0)
+    whole = []
+    for ch in range(c):
+        o, cnt, _ = clock_mm_stream(jnp.asarray(y[ch]), **p)
+        whole.append(np.asarray(o)[: int(cnt)])
+
+    import jax
+
+    state = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (c,) + a.shape), initial_state(p["omega"], p["mu"])
+    )
+    pieces = [[] for _ in range(c)]
+    for lo, hi in [(0, 1000), (1000, 2000), (2000, 3000)]:
+        outs, counts, state = clock_mm_batched_pallas(
+            jnp.asarray(y[:, lo:hi]), jnp.full((c,), hi - lo, jnp.int32), state,
+            omega=p["omega"], gain_omega=p["gain_omega"], mu=p["mu"],
+            gain_mu=p["gain_mu"], omega_relative_limit=p["omega_relative_limit"],
+            interpret=True,
+        )
+        for ch in range(c):
+            pieces[ch].append(np.asarray(outs)[ch, : int(np.asarray(counts)[ch])])
+    for ch in range(c):
+        got = np.concatenate(pieces[ch])
+        assert len(got) == len(whole[ch])
+        gi = np.round(np.clip(got * 127, -128, 127))
+        ri = np.round(np.clip(whole[ch] * 127, -128, 127))
+        assert (np.abs(gi - ri) <= 2).all()
+
+
+def test_batched_pipeline_pallas_backend_golden(resources_dir):
+    iq = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)[:24576]
+    golden = np.fromfile(resources_dir / "lucky7.expected.s8", dtype=np.int8)
+    import jax
+
+    c, b = 3, 8192
+    pipe = DemodPipeline(FskDemodConfig(48000, 4800, 5000, 2, 2000, True), b, exact=False)
+    step = pipe.make_batched_step("pallas", interpret=True)
+    state = jax.tree.map(lambda a: jnp.broadcast_to(a, (c,) + a.shape), pipe.init_state())
+    nv = jnp.full((c,), b, jnp.int32)
+    out = []
+    for i in range(0, len(iq), b):
+        chunk = iq[i : i + b]
+        x = np.stack(
+            [np.tile(chunk.real, (c, 1)), np.tile(chunk.imag, (c, 1))], axis=1
+        ).astype(np.float32)
+        state, sym, cnt = step(state, jnp.asarray(x), nv)
+        out.append(np.asarray(sym)[0, : int(np.asarray(cnt)[0])])
+    got = np.concatenate(out)
+    diff = np.abs(got.astype(np.int32) - golden[: len(got)].astype(np.int32))
+    assert diff.max() <= 2
