@@ -98,3 +98,27 @@ def test_mod_demod_loopback():
         n = min(len(hard) - off, len(bits_tx))
         best = max(best, float((hard[off : off + n] == bits_tx[:n]).mean()))
     assert best > 0.999, f"loopback BER too high: {1 - best:.4f}"
+
+
+def test_ber_waterfall():
+    """TX→AWGN→RX BER decreases with SNR and is error-free at high SNR
+    (BASELINE config #3)."""
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "tools"))
+    import ber_sweep
+
+    low, _ = ber_sweep.run_point(-3.0, 0.0, 512, seed=1)
+    high, _ = ber_sweep.run_point(14.0, 0.0, 512, seed=1)
+    assert high < 0.002
+    assert low > high
+
+
+def test_ber_with_frequency_offset():
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "tools"))
+    import ber_sweep
+
+    ber, _ = ber_sweep.run_point(14.0, 200.0, 512, seed=2)
+    assert ber < 0.01  # DC blocker absorbs a small carrier offset
