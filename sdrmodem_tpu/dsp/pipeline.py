@@ -68,6 +68,7 @@ def _fir_ragged(
     max_out: int,
     exact: bool,
 ):
+    rev_taps = np.asarray(rev_taps, np.float32)
     t = rev_taps.shape[0]
     cap = state.hist.shape[-1]  # t - 1 + decimation - 1
     work = _left_align(state.hist, state.hist_len, x, cap)
@@ -76,7 +77,14 @@ def _fir_ragged(
     work = jnp.where(jnp.arange(work.shape[-1]) < work_len, work, 0.0)
 
     n_out = jnp.maximum(work_len - (t - 1) + decimation - 1, 0) // decimation
-    y = conv1d(work, rev_taps, decimation, 0, exact=exact)[:, 0, :max_out]
+    if exact:
+        # float64-accumulated conv: the deterministic golden-parity path
+        y = conv1d(work, jnp.asarray(rev_taps), decimation, 0, exact=True)[:, 0, :max_out]
+    else:
+        # banded-matmul (MXU) fast path
+        from sdrmodem_tpu.dsp.fir import conv1d_banded
+
+        y = conv1d_banded(work, rev_taps, decimation, max_out)
     consumed = n_out * decimation
 
     new_hist_len = (work_len - consumed).astype(jnp.int32)
@@ -161,19 +169,19 @@ class DemodPipeline:
     def _step_impl(self, state: DemodState, x_pair: jnp.ndarray, n_valid: jnp.ndarray):
         cfg = self.config
         lpf1_state, y1, n1 = _fir_ragged(
-            state.lpf1, x_pair, n_valid, jnp.asarray(self._t1[::-1]), 1,
+            state.lpf1, x_pair, n_valid, self._t1[::-1], 1,
             self.max_mid, self.exact,
         )
         quad_prev, yq = _quad_demod_ragged(
             state.quad_prev, y1, n1, cfg.quad_gain, self.use_atan_lut
         )
         lpf2_state, y2, n2 = _fir_ragged(
-            state.lpf2, yq[None, :], n1, jnp.asarray(self._t2[::-1]), cfg.decimation,
+            state.lpf2, yq[None, :], n1, self._t2[::-1], cfg.decimation,
             self.max_dec, self.exact,
         )
         if self._tdc is not None:
             dc_state, y3, n3 = _fir_ragged(
-                state.dc, y2, n2, jnp.asarray(self._tdc[::-1]), 1,
+                state.dc, y2, n2, self._tdc[::-1], 1,
                 self.max_dec, self.exact,
             )
         else:
@@ -196,19 +204,19 @@ class DemodPipeline:
         """Filter front-end only (everything before clock recovery)."""
         cfg = self.config
         lpf1_state, y1, n1 = _fir_ragged(
-            state.lpf1, x_pair, n_valid, jnp.asarray(self._t1[::-1]), 1,
+            state.lpf1, x_pair, n_valid, self._t1[::-1], 1,
             self.max_mid, self.exact,
         )
         quad_prev, yq = _quad_demod_ragged(
             state.quad_prev, y1, n1, cfg.quad_gain, self.use_atan_lut
         )
         lpf2_state, y2, n2 = _fir_ragged(
-            state.lpf2, yq[None, :], n1, jnp.asarray(self._t2[::-1]), cfg.decimation,
+            state.lpf2, yq[None, :], n1, self._t2[::-1], cfg.decimation,
             self.max_dec, self.exact,
         )
         if self._tdc is not None:
             dc_state, y3, n3 = _fir_ragged(
-                state.dc, y2, n2, jnp.asarray(self._tdc[::-1]), 1,
+                state.dc, y2, n2, self._tdc[::-1], 1,
                 self.max_dec, self.exact,
             )
         else:
