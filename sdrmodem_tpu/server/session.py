@@ -122,6 +122,9 @@ class RxSession:
         self.to_socket = dest in (wire.DemodDestination.SOCKET, wire.DemodDestination.BOTH)
         self.task: asyncio.Task | None = None
         self.finished = asyncio.Event()
+        # observability counters (the reference logs per-client byte totals)
+        self.samples_in = 0
+        self.symbols_out = 0
 
     def start(self):
         self.task = asyncio.create_task(self._run(), name=f"rx-session-{self.id}")
@@ -140,7 +143,9 @@ class RxSession:
                     self.rx_dump.write(np.asarray(buf, np.complex64).tobytes())
                 if self.doppler is not None:
                     buf = await asyncio.to_thread(self.doppler.process_rx, buf)
+                self.samples_in += len(buf)
                 symbols = await asyncio.to_thread(self.demod.process, buf)
+                self.symbols_out += len(symbols)
                 if len(symbols) == 0:
                     continue
                 if self.demod_dump is not None:
@@ -161,7 +166,10 @@ class RxSession:
             if self.demod_dump:
                 self.demod_dump.close()
             self.finished.set()
-            log.info("[%d] dsp_worker stopped", self.id)
+            log.info(
+                "[%d] dsp_worker stopped (%d samples in, %d symbols out)",
+                self.id, self.samples_in, self.symbols_out,
+            )
 
     async def put(self, buf: np.ndarray):
         await self.queue.put(buf)
