@@ -293,3 +293,72 @@ def test_tx_not_supported(tmp_path):
         await server.stop()
 
     run(body())
+
+
+def test_rx_invalid_basepath_internal_error(tmp_path):
+    """Dump file cannot be opened -> INTERNAL_ERROR (test_dsp_worker.c
+    test_invalid_basepath analog)."""
+
+    async def body():
+        config = make_config(tmp_path)
+        config.base_path = str(tmp_path / "does" / "not" / "exist")
+        server = SdrModemServer(config)
+        await server.start()
+        c = await ModemClient.connect("127.0.0.1", server.port)
+        r = await c.rx_request(rx_request(rx_dump_file=True))
+        assert r.status == wire.ResponseStatus.FAILURE
+        assert r.details == wire.ResponseDetails.INTERNAL_ERROR
+        c.close()
+        await server.stop()
+
+    run(body())
+
+
+def test_rx_bad_tle_internal_error(tmp_path):
+    """Three TLE lines that fail the checksum -> INTERNAL_ERROR
+    (test_dsp_worker.c test_invalid_doppler_configuration analog)."""
+
+    async def body():
+        server = SdrModemServer(make_config(tmp_path))
+        await server.start()
+        c = await ModemClient.connect("127.0.0.1", server.port)
+        r = await c.rx_request(
+            rx_request(
+                doppler=wire.DopplerSettings(
+                    tle=["SAT", "1 garbage", "2 garbage"],
+                    latitude=537200000, longitude=475700000, altitude=0,
+                )
+            )
+        )
+        assert r.status == wire.ResponseStatus.FAILURE
+        assert r.details == wire.ResponseDetails.INTERNAL_ERROR
+        c.close()
+        await server.stop()
+
+    run(body())
+
+
+def test_rx_invalid_fsk_params_internal_error(tmp_path):
+    """FSK parameters that fail filter design (cutoff beyond Nyquist)
+    -> INTERNAL_ERROR (test_dsp_worker.c test_invalid_fsk_configuration)."""
+
+    async def body():
+        server = SdrModemServer(make_config(tmp_path))
+        await server.start()
+        c = await ModemClient.connect("127.0.0.1", server.port)
+        r = await c.rx_request(
+            rx_request(
+                rx_sampling_freq=8000,
+                fsk_settings=wire.FskDemodulationSettings(
+                    demod_fsk_deviation=50000,  # Carson cutoff >> Fs/2
+                    demod_fsk_transition_width=2000,
+                    demod_fsk_use_dc_block=True,
+                ),
+            )
+        )
+        assert r.status == wire.ResponseStatus.FAILURE
+        assert r.details == wire.ResponseDetails.INTERNAL_ERROR
+        c.close()
+        await server.stop()
+
+    run(body())
