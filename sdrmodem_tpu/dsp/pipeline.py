@@ -223,6 +223,64 @@ class DemodPipeline:
             dc_state, y3, n3 = state.dc, y2, n2
         return (lpf1_state, quad_prev, lpf2_state, dc_state), y3[0], n3
 
+    def _front_batched(self, state: DemodState, x: jnp.ndarray, n_valid: jnp.ndarray):
+        """Channel-batched front-end for the fast path: the per-channel
+        ragged bookkeeping is vmapped, but every FIR runs as ONE banded
+        matmul with all channel lanes in the matrix columns (full MXU
+        width), instead of a 2-column matmul per channel."""
+        from sdrmodem_tpu.dsp.fir import conv1d_banded
+
+        cfg = self.config
+        c = x.shape[0]
+
+        def fir_stage(fir_state, xs, nv, rev, d, max_out, cap):
+            t = len(rev)
+
+            def prep(st, xx, n):
+                work = _left_align(st.hist, st.hist_len, xx, cap)
+                work_len = st.hist_len + n
+                work = jnp.where(jnp.arange(work.shape[-1]) < work_len, work, 0.0)
+                return work, work_len
+
+            works, work_lens = jax.vmap(prep)(fir_state, xs, nv)  # (C, lanes, W)
+            lanes, w = works.shape[1], works.shape[2]
+            y = conv1d_banded(works.reshape(c * lanes, w), rev, d, max_out)
+            y = y.reshape(c, lanes, max_out)
+
+            def post(st, work, work_len):
+                n_out = jnp.maximum(work_len - (t - 1) + d - 1, 0) // d
+                consumed = n_out * d
+                new_hist_len = (work_len - consumed).astype(jnp.int32)
+                start = jnp.clip(consumed, 0, work.shape[-1] - cap)
+                new_hist = jax.lax.dynamic_slice(
+                    work, (jnp.int32(0), start.astype(jnp.int32)), (work.shape[0], cap)
+                )
+                new_hist = jnp.where(jnp.arange(cap) < new_hist_len, new_hist, 0.0)
+                return FirRaggedState(new_hist, new_hist_len), n_out.astype(jnp.int32)
+
+            new_states, n_outs = jax.vmap(post)(fir_state, works, work_lens)
+            return new_states, y, n_outs
+
+        lpf1_state, y1, n1 = fir_stage(
+            state.lpf1, x, n_valid, self._t1[::-1], 1, self.max_mid, len(self._t1) - 1
+        )
+        quad_prev, yq = jax.vmap(
+            lambda pv, xx, n: _quad_demod_ragged(pv, xx, n, cfg.quad_gain, self.use_atan_lut)
+        )(state.quad_prev, y1, n1)
+        d = cfg.decimation
+        lpf2_state, y2, n2 = fir_stage(
+            state.lpf2, yq[:, None, :], n1, self._t2[::-1], d,
+            self.max_dec, len(self._t2) - 1 + d - 1,
+        )
+        if self._tdc is not None:
+            dc_state, y3, n3 = fir_stage(
+                state.dc, y2[:, 0:1, :], n2, self._tdc[::-1], 1,
+                self.max_dec, len(self._tdc) - 1,
+            )
+        else:
+            dc_state, y3, n3 = state.dc, y2, n2
+        return (lpf1_state, quad_prev, lpf2_state, dc_state), y3[:, 0, :], n3
+
     def make_batched_step(self, clock_backend: str = "scan", *, interpret: bool = False):
         """Batched (channel-axis) step.  ``clock_backend='pallas'`` runs the
         M&M loop as one channel-vectorised Pallas kernel (TPU production
@@ -232,7 +290,10 @@ class DemodPipeline:
         p = self._clockp
 
         def step(state: DemodState, x: jnp.ndarray, n_valid: jnp.ndarray):
-            front_states, y3, n3 = jax.vmap(self._front_impl)(state, x, n_valid)
+            if not self.exact:
+                front_states, y3, n3 = self._front_batched(state, x, n_valid)
+            else:
+                front_states, y3, n3 = jax.vmap(self._front_impl)(state, x, n_valid)
             if clock_backend == "pallas":
                 outs, counts, clock_state = clock_mm_batched_pallas(
                     y3, n3, state.clock,
