@@ -10,16 +10,20 @@ native TPU gather, so the kernel uses a masked one-hot extraction over a
 small sliding tile:
 
 - a (TILE, C) tile of the soft stream is kept in VMEM scratch and
-  re-based forward whenever any channel's read pointer approaches its
-  end (symbol positions advance ~sps rows/step, so re-basing is rare
-  and amortised);
+  re-based forward whenever any channel's read pointer could leave it;
+  the check is amortised over an unrolled group of symbols (per-symbol
+  strides are bounded by ~omega+2 rows);
 - per symbol, the 8 interpolator taps are placed at each lane's local
   offset with iota==offset masks and the windowed dot product becomes a
   (TILE, C) multiply + column reduction on the VPU;
 - the 129-row MMSE bank is evaluated as 8 degree-7 polynomials in the
   *quantised* mu (mu_q = rint(mu*128)/128), which reproduces the table
   to <6e-7 — the table's own literal precision — so numerics match the
-  scan/reference path.
+  scan/reference path;
+- NaNs are handled explicitly: the C dot product is NaN when ANY of the
+  8 window samples is NaN (even under a zero tap), so the data is
+  sanitised and the NaN predicate computed from an unweighted window
+  mask (reference src/dsp/clock_recovery_mm.c:107-113).
 
 State {omega, mu, last, ii} lives in (1, C) rows; validity masking
 matches the scan formulation (a lane freezes once ii > n_valid - 8).
@@ -41,6 +45,7 @@ from sdrmodem_tpu.dsp import taps as taps_mod
 LANES = 128
 NTAPS = 8
 POLY_DEG = 7
+UNROLL = 8
 
 
 @functools.lru_cache(maxsize=None)
@@ -64,7 +69,7 @@ def _mm_kernel(
     state_out_ref,  # (8, C) f32
     tile_ref,  # scratch (TILE, C) f32
     *,
-    num_symbols: int,
+    num_groups: int,
     tile: int,
     omega_mid: float,
     omega_lim: float,
@@ -73,47 +78,29 @@ def _mm_kernel(
 ):
     c = y_ref.shape[1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile, c), 0)
+    # conservative per-symbol position advance (stride <= omega*(1+lim)+2)
+    max_stride = int(np.ceil(omega_mid * 1.02)) + 2
 
     tile_ref[:, :] = y_ref[pl.ds(0, tile), :]
 
-    def body(k, carry):
-        omega, mu, last, ii, count, base = carry
+    def one_symbol(k, omega, mu, last, ii, count, base, data_clean, nan_f):
+        local = (ii - base).astype(jnp.int32)
 
-        # rebase the tile so every lane's window fits inside it
-        local_max = jnp.max(ii - base)
-        need = local_max + NTAPS > jnp.float32(tile)
-        base = jnp.where(need, base + jnp.float32(tile // 2), base)
-
-        @pl.when(need)
-        def _():
-            tile_ref[:, :] = y_ref[pl.ds(base.astype(jnp.int32), tile), :]
-
-        local = (ii - base).astype(jnp.int32)  # (C,) in [0, tile-8]
-
-        # interpolator taps at quantised mu via the Farrow polynomials
         mu_q = jnp.round(mu * 128.0) * jnp.float32(1.0 / 128.0)
         taps = jnp.broadcast_to(poly_ref[0, :][:, None], (NTAPS, c))
         for i in range(1, POLY_DEG + 1):
             taps = taps * mu_q[None, :] + poly_ref[i, :][:, None]
 
-        # masked one-hot window extraction + dot product.  NaNs are handled
-        # explicitly: the C dot product is NaN when ANY of the 8 window
-        # samples is NaN (even under a zero tap), but a NaN elsewhere in
-        # the tile must not leak in — so the data is sanitised and the NaN
-        # predicate computed from an unweighted window mask.
         sel = jnp.zeros((tile, c), jnp.float32)
         msel = jnp.zeros((tile, c), jnp.float32)
         for j in range(NTAPS):
             hit = rows == (local + j)[None, :]
             sel = sel + jnp.where(hit, taps[j][None, :], 0.0)
             msel = msel + jnp.where(hit, jnp.float32(1.0), 0.0)
-        data = tile_ref[:, :]
-        nanmask = jnp.isnan(data)
-        y = jnp.sum(sel * jnp.where(nanmask, jnp.float32(0.0), data), axis=0)
-        window_nan = jnp.sum(msel * nanmask.astype(jnp.float32), axis=0) > 0.0
+        y = jnp.sum(sel * data_clean, axis=0)
+        is_nan = jnp.sum(msel * nan_f, axis=0) > 0.0
 
         valid = ii <= nvalid_ref[0, :] - jnp.float32(NTAPS)
-        is_nan = window_nan
         out = jnp.where(is_nan, jnp.float32(0.0), y)
 
         sgn_last = jnp.where(last < 0, jnp.float32(-1.0), jnp.float32(1.0))
@@ -134,27 +121,62 @@ def _mm_kernel(
         new_last = jnp.where(is_nan, last, out)
         stride = jnp.where(is_nan, jnp.floor(omega), stride_n)
 
-        outs_ref[k, :] = jnp.where(valid, out, 0.0)
+        outs_ref[pl.ds(k, 1), :] = jnp.where(valid, out, 0.0)[None, :]
 
         omega = jnp.where(valid, new_omega, omega)
         mu = jnp.where(valid, new_mu, mu)
         last = jnp.where(valid, new_last, last)
         ii = jnp.where(valid, ii + stride, ii)
         count = count + valid.astype(jnp.float32)
+        return omega, mu, last, ii, count
+
+    def group(o, carry):
+        omega, mu, last, ii, count, base = carry
+
+        # one rebase check per UNROLL symbols; 8-row-aligned shift so the
+        # refreshed tile slice stays sublane-aligned.  Only ACTIVE lanes
+        # constrain the window: frozen lanes (padding channels, or lanes
+        # whose input is exhausted) must neither hold the tile back nor
+        # trigger rebases, so the min/max are masked.  The shift is bounded
+        # by the slowest active lane, so the tile tolerates an
+        # inter-channel spread of up to tile - NTAPS - UNROLL*max_stride.
+        active = ii <= nvalid_ref[0, :] - jnp.float32(NTAPS)
+        local = ii - base
+        neg = jnp.float32(-1e9)
+        pos = jnp.float32(1e9)
+        local_max = jnp.max(jnp.where(active, local, neg))
+        local_min = jnp.min(jnp.where(active, local, pos))
+        need = local_max + NTAPS + UNROLL * max_stride > jnp.float32(tile)
+        shift = jnp.maximum(jnp.floor(local_min / 8.0) * jnp.float32(8.0), 0.0)
+        base = jnp.where(need, base + shift, base)
+
+        @pl.when(need)
+        def _():
+            tile_ref[:, :] = y_ref[pl.ds(base.astype(jnp.int32), tile), :]
+
+        data = tile_ref[:, :]
+        nan_f = jnp.isnan(data).astype(jnp.float32)
+        data_clean = jnp.where(jnp.isnan(data), jnp.float32(0.0), data)
+
+        k0 = o * UNROLL
+        for j in range(UNROLL):
+            omega, mu, last, ii, count = one_symbol(
+                k0 + j, omega, mu, last, ii, count, base, data_clean, nan_f
+            )
         return omega, mu, last, ii, count, base
 
-    omega0 = state_ref[0, :]
-    mu0 = state_ref[1, :]
-    last0 = state_ref[2, :]
-    ii0 = state_ref[3, :]
-    count0 = jnp.zeros((c,), jnp.float32)
-    # int32 loop bounds: with jax_enable_x64 the default python-int bounds
-    # would make the loop index int64, which Mosaic cannot vectorise
     omega, mu, last, ii, count, _ = jax.lax.fori_loop(
         jnp.int32(0),
-        jnp.int32(num_symbols),
-        body,
-        (omega0, mu0, last0, ii0, count0, jnp.float32(0.0)),
+        jnp.int32(num_groups),
+        group,
+        (
+            state_ref[0, :],
+            state_ref[1, :],
+            state_ref[2, :],
+            state_ref[3, :],
+            jnp.zeros((c,), jnp.float32),
+            jnp.float32(0.0),
+        ),
     )
     counts_ref[0, :] = count
     counts_ref[1:, :] = jnp.zeros((7, c), jnp.float32)
@@ -184,12 +206,17 @@ def clock_mm_tpu(
 
     Semantics match ``clock_mm_stream``'s scan (same masking and NaN
     branch); the interpolator uses the Farrow-polynomial bank (max tap
-    error 6e-7 vs the table).
+    error 6e-7 vs the table).  K is ``num_symbols`` rounded up to the
+    unroll factor (a frozen lane simply stops producing).
     """
     ch, length = y.shape
     if ch > LANES:
         raise ValueError("clock_mm_tpu handles up to 128 channels per call")
-    lp = -(-length // 8) * 8 + tile  # headroom for the final rebase slice
+    num_groups = -(-int(num_symbols) // UNROLL)
+    k_pad = num_groups * UNROLL
+
+    # headroom: the final rebase can shift base up to the last read position
+    lp = -(-length // 8) * 8 + 2 * tile
     yt = jnp.zeros((lp, LANES), jnp.float32)
     yt = jax.lax.dynamic_update_slice(yt, y.T.astype(jnp.float32), (0, 0))
 
@@ -205,34 +232,34 @@ def clock_mm_tpu(
     poly = jnp.asarray(bank_poly_coeffs())  # (8, 8)
 
     lim = float(np.float32(omega_mid) * np.float32(omega_relative_limit))
-    # trace the kernel in strict 32-bit mode: the package enables x64 for
-    # the orbital layer, but Mosaic only vectorises <=32-bit lanes
+    # strict 32-bit tracing: the package enables x64 globally (orbital
+    # layer), but Mosaic only vectorises <=32-bit lanes
     with jax.enable_x64(False):
         outs, counts, state_out = pl.pallas_call(
             functools.partial(
-            _mm_kernel,
-            num_symbols=num_symbols,
-            tile=tile,
-            omega_mid=float(np.float32(omega_mid)),
-            omega_lim=lim,
-            gain_omega=float(np.float32(gain_omega)),
-            gain_mu=float(np.float32(gain_mu)),
+                _mm_kernel,
+                num_groups=num_groups,
+                tile=tile,
+                omega_mid=float(np.float32(omega_mid)),
+                omega_lim=lim,
+                gain_omega=float(np.float32(gain_omega)),
+                gain_mu=float(np.float32(gain_mu)),
             ),
             out_shape=(
-            jax.ShapeDtypeStruct((num_symbols, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((8, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((k_pad, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((8, LANES), jnp.float32),
             ),
             in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
             out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[pltpu.VMEM((tile, LANES), jnp.float32)],
             interpret=interpret,
