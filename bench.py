@@ -43,7 +43,8 @@ def main() -> None:
         clock_backend = "scan"  # Mosaic kernels need a TPU
 
     cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
-    pipe = DemodPipeline(cfg, block, exact=False)
+    use_lut = os.environ.get("SDRM_BENCH_ATAN", "poly") == "lut"
+    pipe = DemodPipeline(cfg, block, exact=False, use_atan_lut=use_lut)
 
     # input: the recorded capture tiled across channels/time (falls back to
     # noise when the fixture tree is absent)

@@ -223,18 +223,18 @@ def clock_mm_batched_pallas(
     if num_symbols is None:
         num_symbols = max_symbols(n + TAIL_CAP, float(omega_mid), omega_relative_limit, gain_mu)
 
-    # assemble [tail[:tail_len], x, zeros] per channel
-    work = jnp.concatenate(
-        [state.tail, x.astype(jnp.float32), jnp.zeros((c, TAIL_CAP), jnp.float32)],
-        axis=1,
-    )
-    w = work.shape[1]
-    i = jnp.arange(w)[None, :]
-    tl = state.tail_len[:, None]
-    idx = jnp.where(i < tl, i, jnp.minimum(i + (TAIL_CAP - tl), w - 1))
-    work = jnp.take_along_axis(work, idx, axis=1)
+    # assemble [tail[:tail_len], x, zeros] per channel: two block copies
+    # per channel instead of a gather (vmapped dynamic_update_slice)
+    w = n + 2 * TAIL_CAP
+
+    def assemble(tail, tail_len, row):
+        buf = jnp.zeros((w,), jnp.float32)
+        buf = jax.lax.dynamic_update_slice(buf, tail, (0,))
+        return jax.lax.dynamic_update_slice(buf, row, (tail_len.astype(jnp.int32),))
+
+    work = jax.vmap(assemble)(state.tail, state.tail_len, x.astype(jnp.float32))
     base_valid = state.tail_len + n_valid.astype(jnp.int32)
-    work = jnp.where(i < base_valid[:, None], work, 0.0)
+    work = jnp.where(jnp.arange(w)[None, :] < base_valid[:, None], work, 0.0)
 
     outs, counts, fin = clock_mm_tpu(
         work,

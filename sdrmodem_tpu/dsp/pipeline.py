@@ -49,14 +49,18 @@ class DemodState(NamedTuple):
 
 
 def _left_align(hist: jnp.ndarray, hist_len, x: jnp.ndarray, cap: int) -> jnp.ndarray:
-    """[hist[:hist_len], x, zeros] into a (lanes, cap + N) buffer."""
-    work = jnp.concatenate([hist, x], axis=-1)
-    n = work.shape[-1]
-    i = jnp.arange(n)
-    idx = jnp.where(i < hist_len, i, jnp.minimum(i + (cap - hist_len), n - 1))
-    out = jnp.take(work, idx, axis=-1)
-    # zero everything past hist_len + x-width (the moved-up zeros tail)
-    return out
+    """[hist[:hist_len], x, ...] into a (lanes, cap + N) buffer.
+
+    Two dynamic_update_slice copies — no gather (gathers are an order of
+    magnitude slower than block copies on the TPU backend).  The region
+    past hist_len + N keeps whatever the second copy leaves there; callers
+    mask by work_len.  The hist buffer invariant (zeros past hist_len) is
+    maintained by _fir_ragged."""
+    lanes = x.shape[0]
+    work = jnp.zeros((lanes, cap + x.shape[-1]), x.dtype)
+    work = jax.lax.dynamic_update_slice(work, hist, (0, 0))
+    work = jax.lax.dynamic_update_slice(work, x, (jnp.int32(0), hist_len.astype(jnp.int32)))
+    return work
 
 
 def _fir_ragged(
