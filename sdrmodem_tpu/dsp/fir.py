@@ -113,9 +113,11 @@ def conv1d_banded(
     wmat = np.zeros((tile_out, lpad), np.float32)
     for k in range(tile_out):
         wmat[k, k : k + t] = rev
-    out = jnp.einsum(
-        "kl,glc->gkc", jnp.asarray(wmat), frames, preferred_element_type=jnp.float32
-    )
+    # one dense (tile_out, lpad) @ (lpad, g*b) matmul: tiles stacked along
+    # the column dimension keep the MXU at full width regardless of g
+    cols = jnp.transpose(frames, (1, 0, 2)).reshape(lpad, g * b)
+    out2d = jnp.dot(jnp.asarray(wmat), cols, preferred_element_type=jnp.float32)
+    out = out2d.reshape(tile_out, g, b).transpose(1, 0, 2)
     return out.reshape(g * tile_out, b)[:max_out].T
 
 

@@ -83,7 +83,7 @@ def _mm_kernel(
 
     tile_ref[:, :] = y_ref[pl.ds(0, tile), :]
 
-    def one_symbol(k, omega, mu, last, ii, count, base, data_clean, nan_f):
+    def one_symbol(k, omega, mu, last, ii, count, base, data_clean, nan_win):
         local = (ii - base).astype(jnp.int32)
 
         mu_q = jnp.round(mu * 128.0) * jnp.float32(1.0 / 128.0)
@@ -92,13 +92,14 @@ def _mm_kernel(
             taps = taps * mu_q[None, :] + poly_ref[i, :][:, None]
 
         sel = jnp.zeros((tile, c), jnp.float32)
-        msel = jnp.zeros((tile, c), jnp.float32)
         for j in range(NTAPS):
             hit = rows == (local + j)[None, :]
             sel = sel + jnp.where(hit, taps[j][None, :], 0.0)
-            msel = msel + jnp.where(hit, jnp.float32(1.0), 0.0)
+        hit0 = rows == local[None, :]
+        # nan_win[t] flags a NaN anywhere in rows [t, t+7]; one extraction
+        # at the window start replaces the 8-tap unweighted mask
         y = jnp.sum(sel * data_clean, axis=0)
-        is_nan = jnp.sum(msel * nan_f, axis=0) > 0.0
+        is_nan = jnp.sum(jnp.where(hit0, nan_win, 0.0), axis=0) > 0.0
 
         valid = ii <= nvalid_ref[0, :] - jnp.float32(NTAPS)
         out = jnp.where(is_nan, jnp.float32(0.0), y)
@@ -157,11 +158,19 @@ def _mm_kernel(
         data = tile_ref[:, :]
         nan_f = jnp.isnan(data).astype(jnp.float32)
         data_clean = jnp.where(jnp.isnan(data), jnp.float32(0.0), data)
+        # nan_win[t] = any NaN in rows [t, t+NTAPS-1] (8 shifted maxima,
+        # amortised over the whole group)
+        nan_win = nan_f
+        for j in range(1, NTAPS):
+            shifted = jnp.concatenate(
+                [nan_f[j:, :], jnp.zeros((j, nan_f.shape[1]), jnp.float32)], axis=0
+            )
+            nan_win = jnp.maximum(nan_win, shifted)
 
         k0 = o * UNROLL
         for j in range(UNROLL):
             omega, mu, last, ii, count = one_symbol(
-                k0 + j, omega, mu, last, ii, count, base, data_clean, nan_f
+                k0 + j, omega, mu, last, ii, count, base, data_clean, nan_win
             )
         return omega, mu, last, ii, count, base
 
