@@ -68,7 +68,7 @@ def conv1d_banded(
     stride: int,
     max_out: int,
     *,
-    tile_out: int = 256,
+    tile_out: int = 128,
 ) -> jnp.ndarray:
     """Strided correlation as banded-matrix matmuls (MXU formulation).
 

@@ -85,3 +85,27 @@ def calculate_lat_lon_alt(jul_utc: float, pos) -> Geodetic:
     if lat > c.pio2:
         lat -= c.twopi
     return Geodetic(lat=lat, lon=lon, alt=alt)
+
+
+def calculate_ra_dec(jul_utc: float, sat_pos, sat_vel, geo: Geodetic):
+    """Topocentric right ascension / declination (radians) of a satellite
+    (sgp_obs.c Calculate_RADec_and_Obs, Escobal pp. 401-402)."""
+    obs = calculate_obs(jul_utc, sat_pos, sat_vel, geo)
+    az, el = obs.az, obs.el
+    phi = geo.lat
+    theta = fmod2p(theta_g_jd(jul_utc) + geo.lon)
+    sin_theta, cos_theta = math.sin(theta), math.cos(theta)
+    sin_phi, cos_phi = math.sin(phi), math.cos(phi)
+    lxh = -math.cos(az) * math.cos(el)
+    lyh = math.sin(az) * math.cos(el)
+    lzh = math.sin(el)
+    sx, ex, zx = sin_phi * cos_theta, -sin_theta, cos_theta * cos_phi
+    sy, ey, zy = sin_phi * sin_theta, cos_theta, sin_theta * cos_phi
+    sz, ez, zz = -cos_phi, 0.0, sin_phi
+    lx = sx * lxh + ex * lyh + zx * lzh
+    ly = sy * lxh + ey * lyh + zy * lzh
+    lz = sz * lxh + ez * lyh + zz * lzh
+    dec = math.asin(lz)
+    cos_delta = math.sqrt(1.0 - lz * lz)
+    ra = fmod2p(actan(ly / cos_delta, lx / cos_delta))
+    return ra, dec

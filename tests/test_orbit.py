@@ -91,3 +91,52 @@ def test_solar_position_and_eclipse():
     )
     assert not eclipsed
     assert abs(depth - -0.780165) < 1e-5
+
+
+def test_checkpoint_resume_demod(resources_dir):
+    """A demod stream restored from a snapshot continues identically
+    (SURVEY §5: block-index + DSP-state snapshot makes streams resumable)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig
+    from sdrmodem_tpu.dsp.pipeline import DemodPipeline
+    from sdrmodem_tpu.utils.checkpoint import load_state, save_state
+
+    iq = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)[:24576]
+    pipe = DemodPipeline(FskDemodConfig(48000, 4800, 5000, 2, 2000, True), 8192, exact=False)
+
+    s = pipe.streamer()
+    a1 = s.process(iq[:8192])
+    a2 = s.process(iq[8192:16384])
+    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+        save_state(s.state, f.name, meta={"blocks": 2})
+        # continue the original
+        a3 = s.process(iq[16384:])
+
+        # resume a fresh streamer from the snapshot
+        r = pipe.streamer()
+        r.state, meta = load_state(r.state, f.name)
+        assert meta["blocks"] == 2
+        b3 = r.process(iq[16384:])
+    np.testing.assert_array_equal(a3, b3)
+
+
+def test_calculate_ra_dec_range():
+    from sdrmodem_tpu.orbit.observer import Geodetic, calculate_ra_dec
+    from sdrmodem_tpu.orbit.sgp4 import Sgp4
+    from sdrmodem_tpu.orbit.timeutil import julian_date
+    from sdrmodem_tpu.orbit.tle import parse_tle
+
+    tle = parse_tle([
+        "LUCKY-7",
+        "1 44406U 19038W   20069.88080907  .00000505  00000-0  32890-4 0  9992",
+        "2 44406  97.5270  32.5584 0026284 107.4758 252.9348 15.12089395 37524",
+    ])
+    st = Sgp4(tle).propagate(0.0)
+    geo = Geodetic(lat=np.deg2rad(53.72), lon=np.deg2rad(47.57), alt=0.0)
+    ra, dec = calculate_ra_dec(julian_date(1583840449), st.pos, st.vel, geo)
+    assert 0.0 <= ra < 2 * np.pi
+    assert -np.pi / 2 <= dec <= np.pi / 2
