@@ -277,13 +277,66 @@ class DemodPipeline:
             self.max_dec, len(self._t2) - 1 + d - 1,
         )
         if self._tdc is not None:
-            dc_state, y3, n3 = fir_stage(
-                state.dc, y2[:, 0:1, :], n2, self._tdc[::-1], 1,
-                self.max_dec, len(self._tdc) - 1,
-            )
+            dc_state, y3, n3 = self._dc_cumsum_stage(state.dc, y2[:, 0:1, :], n2)
         else:
             dc_state, y3, n3 = state.dc, y2, n2
         return (lpf1_state, quad_prev, lpf2_state, dc_state), y3[:, 0, :], n3
+
+    def _dc_cumsum_stage(self, dc_state: FirRaggedState, x: jnp.ndarray, n_valid):
+        """DC blocker via cascaded cumsum moving averages — O(1)/sample
+        instead of a 637-tap FIR (fast path only; the conv path remains the
+        parity reference).
+
+        out[t] = work[t - 2(L-1)] - MA_L^4(work)[t], computed entirely from
+        the raw-input work buffer: the carried history (4L-4 samples) gives
+        every nested average its full lookback.
+        """
+        ll = self.config.dc_length
+        cap = dc_state.hist.shape[-1]  # 4L - 4
+        t_delay = 2 * (ll - 1)
+
+        def prep(st, xx, n):
+            work = _left_align(st.hist, st.hist_len, xx, cap)
+            work_len = st.hist_len + n
+            work = jnp.where(jnp.arange(work.shape[-1]) < work_len, work, 0.0)
+            return work, work_len
+
+        works, work_lens = jax.vmap(prep)(dc_state, x, n_valid)  # (C, 1, W)
+        w = works.shape[-1]
+        flat = works[:, 0, :]  # (C, W)
+
+        def ma(v):
+            s = jnp.cumsum(v, axis=-1)
+            shifted = jnp.concatenate(
+                [jnp.zeros((v.shape[0], ll), v.dtype), s[:, :-ll]], axis=-1
+            )
+            return (s - shifted) * jnp.float32(1.0 / ll)
+
+        m = ma(ma(ma(ma(flat))))
+        # output k corresponds to work position k + cap (the first cap
+        # positions are history); same count bookkeeping as a 4L-3-tap FIR
+        t_taps = 4 * ll - 3
+        n_out = jnp.maximum(work_lens - (t_taps - 1), 0)
+        delayed = flat[:, cap - t_delay : w - t_delay][:, : self.max_dec]
+        ma4 = m[:, cap:w][:, : self.max_dec]
+        pad = self.max_dec - delayed.shape[-1]
+        if pad > 0:
+            delayed = jnp.pad(delayed, ((0, 0), (0, pad)))
+            ma4 = jnp.pad(ma4, ((0, 0), (0, pad)))
+        y = (delayed - ma4)[:, None, :]  # (C, 1, max_dec)
+
+        def post(st, work, work_len, nout):
+            consumed = nout
+            new_hist_len = (work_len - consumed).astype(jnp.int32)
+            start = jnp.clip(consumed, 0, work.shape[-1] - cap)
+            new_hist = jax.lax.dynamic_slice(
+                work, (jnp.int32(0), start.astype(jnp.int32)), (1, cap)
+            )
+            new_hist = jnp.where(jnp.arange(cap) < new_hist_len, new_hist, 0.0)
+            return FirRaggedState(new_hist, new_hist_len)
+
+        new_states = jax.vmap(post)(dc_state, works, work_lens, n_out)
+        return new_states, y, n_out.astype(jnp.int32)
 
     def make_batched_step(self, clock_backend: str = "scan", *, interpret: bool = False):
         """Batched (channel-axis) step.  ``clock_backend='pallas'`` runs the
