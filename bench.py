@@ -35,7 +35,7 @@ def main() -> None:
 
     baseline_msps = 11.0  # reference/test/perf_fsk_modem.c:100-104 (M1 single core)
 
-    channels = int(os.environ.get("SDRM_BENCH_CHANNELS", "64"))
+    channels = int(os.environ.get("SDRM_BENCH_CHANNELS", "128"))
     block = int(os.environ.get("SDRM_BENCH_BLOCK", str(4096 * 8)))
     iters = int(os.environ.get("SDRM_BENCH_ITERS", "8"))
     clock_backend = os.environ.get("SDRM_BENCH_CLOCK", "pallas")
