@@ -44,6 +44,7 @@ def main() -> None:
 
     cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
     use_lut = os.environ.get("SDRM_BENCH_ATAN", "poly") == "lut"
+    mode = os.environ.get("SDRM_BENCH_MODE", "full")  # full | ragged
     pipe = DemodPipeline(cfg, block, exact=False, use_atan_lut=use_lut)
 
     # input: the recorded capture tiled across channels/time (falls back to
@@ -63,10 +64,20 @@ def main() -> None:
     x = jnp.asarray(x)
     n_valid = jnp.full((channels,), block, jnp.int32)
 
-    step = pipe.make_batched_step(clock_backend)
-    state = jax.tree.map(
-        lambda a: jnp.broadcast_to(a, (channels,) + a.shape), pipe.init_state()
-    )
+    if mode == "full":
+        # full-block fast path: static history lengths, suffix-carried
+        # clock state — no ragged bookkeeping on the hot path
+        step_full = pipe.make_batched_step_full(clock_backend)
+        step = lambda s, xx, nv: step_full(s, xx)
+        state = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (channels,) + a.shape),
+            pipe.init_full_state(),
+        )
+    else:
+        step = pipe.make_batched_step(clock_backend)
+        state = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (channels,) + a.shape), pipe.init_state()
+        )
 
     # warm-up / compile
     state, symbols, count = step(state, x, n_valid)

@@ -50,6 +50,41 @@ class ClockState(NamedTuple):
     tail_len: jnp.ndarray  # () i32
 
 
+# Fixed-size suffix carried by the full-block fast path.  SUFFIX >= the
+# largest possible unconsumed tail (NTAPS + max stride), and a multiple of
+# 8 so the pallas tile stays sublane-aligned.
+SUFFIX = 64
+
+
+class ClockFullState(NamedTuple):
+    """State of the full-block clock path.
+
+    Instead of extracting the variable-length unconsumed tail (a gather
+    with a per-channel dynamic start — an order of magnitude slower than
+    block copies on TPU), the full-block path carries the last ``SUFFIX``
+    input samples verbatim (a static slice) plus ``resid``, the number of
+    them not yet consumed.  The next block prepends the suffix and starts
+    its read pointer at ``SUFFIX - resid`` — numerically identical to the
+    reference's tail hand-off (src/dsp/clock_recovery_mm.c:119-135).
+    """
+
+    omega: jnp.ndarray  # () f32
+    mu: jnp.ndarray  # () f32
+    last_sample: jnp.ndarray  # () f32
+    suffix: jnp.ndarray  # (SUFFIX,) f32 — last SUFFIX input samples
+    resid: jnp.ndarray  # () i32 — unconsumed count (< SUFFIX)
+
+
+def initial_full_state(omega: float, mu: float = 0.5) -> ClockFullState:
+    return ClockFullState(
+        omega=jnp.float32(omega),
+        mu=jnp.float32(mu),
+        last_sample=jnp.float32(0.0),
+        suffix=jnp.zeros(SUFFIX, jnp.float32),
+        resid=jnp.int32(0),
+    )
+
+
 def mm_params(sps: float) -> dict:
     """The reference fsk_demod's M&M constants (src/dsp/fsk_demod.c:63-67)."""
     sps = np.float32(sps)
@@ -136,6 +171,51 @@ def clock_mm_stream(
             ln + TAIL_CAP, float(omega_mid), omega_relative_limit, gain_mu
         )
 
+    (ii_f, mu_f, omega_f, last_f, count), outs = _mm_scan_core(
+        work,
+        base_valid,
+        jnp.int32(0),
+        jnp.asarray(state.mu, jnp.float32),
+        jnp.asarray(state.omega, jnp.float32),
+        jnp.asarray(state.last_sample, jnp.float32),
+        omega_mid=omega_mid,
+        omega_lim=omega_lim,
+        gain_omega=gain_omega,
+        gain_mu=gain_mu,
+        num_symbols=int(num_symbols),
+    )
+
+    # Tail hand-off (reference :127-135): keep work[last_index:valid_len],
+    # where last_index rewinds to the previously processed position if the
+    # final stride overshot the buffer.
+    lmax = work.shape[0]
+    last_index = jnp.minimum(ii_f, base_valid)
+    tail_len = jnp.clip(base_valid - last_index, 0, TAIL_CAP)
+    start = jnp.clip(last_index, 0, lmax - TAIL_CAP)
+    tail = jax.lax.dynamic_slice(work, (start,), (TAIL_CAP,))
+    tail = jnp.where(jnp.arange(TAIL_CAP) < tail_len, tail, 0.0)
+
+    new_state = ClockState(omega_f, mu_f, last_f, tail, tail_len.astype(jnp.int32))
+    return outs, count, new_state
+
+
+def _mm_scan_core(
+    work: jnp.ndarray,  # (L,) f32
+    base_valid,  # () i32
+    ii0,  # () i32 — initial read pointer
+    mu0,
+    omega0,
+    last0,
+    *,
+    omega_mid,
+    omega_lim,
+    gain_omega,
+    gain_mu,
+    num_symbols: int,
+):
+    """The sequential M&M loop (reference src/dsp/clock_recovery_mm.c:78-139)
+    as a fixed-length masked scan.  Returns ((ii, mu, omega, last, count), outs)."""
+    banks = jnp.asarray(taps_mod.mmse_interp_taps())  # (129, 8)
     g_o = jnp.float32(gain_omega)
     g_m = jnp.float32(gain_mu)
     lmax = work.shape[0]
@@ -175,27 +255,86 @@ def clock_mm_stream(
         return carry, jnp.where(valid, out, jnp.float32(0.0))
 
     init = (
-        jnp.int32(0),
-        jnp.asarray(state.mu, jnp.float32),
-        jnp.asarray(state.omega, jnp.float32),
-        jnp.asarray(state.last_sample, jnp.float32),
+        jnp.asarray(ii0, jnp.int32),
+        jnp.asarray(mu0, jnp.float32),
+        jnp.asarray(omega0, jnp.float32),
+        jnp.asarray(last0, jnp.float32),
         jnp.int32(0),
     )
-    (ii_f, mu_f, omega_f, last_f, count), outs = jax.lax.scan(
-        step, init, None, length=int(num_symbols)
+    return jax.lax.scan(step, init, None, length=int(num_symbols))
+
+
+def clock_mm_batched_full(
+    x: jnp.ndarray,  # (C, N) float32 — every channel a FULL block
+    state: ClockFullState,  # batched: leaves with leading (C,)
+    *,
+    omega: float,
+    gain_omega: float,
+    mu: float = 0.5,
+    gain_mu: float = 0.0625,
+    omega_relative_limit: float = 0.01,
+    num_symbols: int | None = None,
+    backend: str = "pallas",
+    interpret: bool = False,
+):
+    """Batched M&M for the full-block fast path (suffix-carry state).
+
+    The work buffer is a STATIC concat [suffix, x] and the new suffix a
+    static slice — no per-channel dynamic starts anywhere on the data
+    path; only the scalar read pointer ``SUFFIX - resid`` is dynamic, and
+    the kernel/scan already consumes that as part of its carried state.
+    """
+    c, n = x.shape
+    omega_mid = np.float32(omega)
+    omega_lim = np.float32(omega_mid * np.float32(omega_relative_limit))
+    if num_symbols is None:
+        num_symbols = max_symbols(
+            n + SUFFIX, float(omega_mid), omega_relative_limit, gain_mu
+        )
+
+    work = jnp.concatenate([state.suffix, x.astype(jnp.float32)], axis=1)
+    w = n + SUFFIX
+    base_valid = jnp.full((c,), w, jnp.int32)
+    ii0 = (jnp.int32(SUFFIX) - state.resid.astype(jnp.int32)).astype(jnp.int32)
+
+    if backend == "pallas":
+        from sdrmodem_tpu.ops.pallas_clock import clock_mm_tpu
+
+        outs, counts, fin = clock_mm_tpu(
+            work,
+            base_valid,
+            state.omega,
+            state.mu,
+            state.last_sample,
+            ii0=ii0,
+            omega_mid=float(omega_mid),
+            omega_relative_limit=omega_relative_limit,
+            gain_omega=gain_omega,
+            gain_mu=gain_mu,
+            num_symbols=int(num_symbols),
+            interpret=interpret,
+        )
+        ii_f = fin["ii"]
+        omega_f, mu_f, last_f = fin["omega"], fin["mu"], fin["last"]
+    else:
+        def one(row, i0, mu_c, om_c, la_c):
+            (ii_f, mu_f, om_f, la_f, count), outs = _mm_scan_core(
+                row, jnp.int32(w), i0, mu_c, om_c, la_c,
+                omega_mid=omega_mid, omega_lim=omega_lim,
+                gain_omega=gain_omega, gain_mu=gain_mu,
+                num_symbols=int(num_symbols),
+            )
+            return outs, count, ii_f, mu_f, om_f, la_f
+
+        outs, counts, ii_f, mu_f, omega_f, last_f = jax.vmap(one)(
+            work, ii0, state.mu, state.omega, state.last_sample
+        )
+
+    resid = jnp.clip(jnp.int32(w) - jnp.minimum(ii_f, w), 0, SUFFIX - 1)
+    new_state = ClockFullState(
+        omega_f, mu_f, last_f, work[:, -SUFFIX:], resid.astype(jnp.int32)
     )
-
-    # Tail hand-off (reference :127-135): keep work[last_index:valid_len],
-    # where last_index rewinds to the previously processed position if the
-    # final stride overshot the buffer.
-    last_index = jnp.minimum(ii_f, base_valid)
-    tail_len = jnp.clip(base_valid - last_index, 0, TAIL_CAP)
-    start = jnp.clip(last_index, 0, lmax - TAIL_CAP)
-    tail = jax.lax.dynamic_slice(work, (start,), (TAIL_CAP,))
-    tail = jnp.where(jnp.arange(TAIL_CAP) < tail_len, tail, 0.0)
-
-    new_state = ClockState(omega_f, mu_f, last_f, tail, tail_len.astype(jnp.int32))
-    return outs, count, new_state
+    return outs, counts, new_state
 
 
 def clock_mm_batched_pallas(

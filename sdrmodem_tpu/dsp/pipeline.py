@@ -29,7 +29,14 @@ import jax
 import jax.numpy as jnp
 
 from sdrmodem_tpu.dsp import taps as taps_mod
-from sdrmodem_tpu.dsp.clock_recovery import ClockState, clock_mm_stream, initial_state
+from sdrmodem_tpu.dsp.clock_recovery import (
+    ClockFullState,
+    ClockState,
+    clock_mm_batched_full,
+    clock_mm_stream,
+    initial_full_state,
+    initial_state,
+)
 from sdrmodem_tpu.dsp.elementwise import dc_blocker_taps, fast_atan2
 from sdrmodem_tpu.dsp.fir import conv1d
 from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig, float_to_int8
@@ -46,6 +53,19 @@ class DemodState(NamedTuple):
     lpf2: FirRaggedState
     dc: FirRaggedState | None
     clock: ClockState
+
+
+class DemodStateFull(NamedTuple):
+    """State of the full-block fast path: every history length is a
+    compile-time constant (the stream's steady state when each step
+    consumes exactly ``block`` samples), so history splicing is static
+    concat/slice — no dynamic-start copies, masks, or gathers."""
+
+    lpf1_hist: jnp.ndarray  # (2, t1-1) f32
+    quad_prev: jnp.ndarray  # (2,) f32
+    lpf2_hist: jnp.ndarray  # (1, t2-1) f32
+    dc_hist: jnp.ndarray | None  # (1, 4L-4) f32
+    clock: "ClockFullState"
 
 
 def _left_align(hist: jnp.ndarray, hist_len, x: jnp.ndarray, cap: int) -> jnp.ndarray:
@@ -337,6 +357,110 @@ class DemodPipeline:
 
         new_states = jax.vmap(post)(dc_state, works, work_lens, n_out)
         return new_states, y, n_out.astype(jnp.int32)
+
+    # ------------------------------------------------------------------
+    # full-block fast path: static history lengths, no ragged bookkeeping
+    def init_full_state(self) -> DemodStateFull:
+        d = self.config.decimation
+        if self.block % d != 0:
+            raise ValueError("full-block path requires block % decimation == 0")
+        p = self._clockp
+        return DemodStateFull(
+            lpf1_hist=jnp.zeros((2, len(self._t1) - 1), jnp.float32),
+            quad_prev=jnp.zeros(2, jnp.float32),
+            lpf2_hist=jnp.zeros((1, len(self._t2) - 1), jnp.float32),
+            dc_hist=(
+                jnp.zeros((1, 4 * self.config.dc_length - 4), jnp.float32)
+                if self._tdc is not None
+                else None
+            ),
+            clock=initial_full_state(p["omega"], p["mu"]),
+        )
+
+    def _front_batched_full(self, state: DemodStateFull, x: jnp.ndarray):
+        """Front-end when every channel consumes exactly ``block`` samples.
+
+        In steady state every FIR's carried history has a FIXED length
+        (lpf1/dc: taps-1; lpf2: taps-1, invariant because block %
+        decimation == 0), so [history, x] is a static concat and the new
+        history a static slice — the dynamic-start copies and masks of the
+        ragged path (which lower to gathers, ~10x slower than block copies
+        on TPU) vanish entirely.
+        """
+        from sdrmodem_tpu.dsp.fir import conv1d_banded
+
+        cfg = self.config
+        b_ = self.block
+        d = cfg.decimation
+        c = x.shape[0]
+        h1 = len(self._t1) - 1
+
+        work1 = jnp.concatenate([state.lpf1_hist, x], axis=-1)  # (C, 2, h1+B)
+        y1 = conv1d_banded(
+            work1.reshape(c * 2, h1 + b_), self._t1[::-1], 1, b_
+        ).reshape(c, 2, b_)
+        lpf1_hist = work1[..., b_:]
+
+        shifted = jnp.concatenate([state.quad_prev[..., None], y1[..., :-1]], axis=-1)
+        re = y1[:, 0] * shifted[:, 0] + y1[:, 1] * shifted[:, 1]
+        im = y1[:, 1] * shifted[:, 0] - y1[:, 0] * shifted[:, 1]
+        if self.use_atan_lut:
+            ang = fast_atan2(im, re)
+        else:
+            both_zero = ~((jnp.abs(im) > 0) | (jnp.abs(re) > 0))
+            ang = jnp.where(both_zero, jnp.float32(0.0), jnp.arctan2(im, re))
+        yq = jnp.float32(cfg.quad_gain) * ang  # (C, B)
+        quad_prev = y1[..., -1]
+
+        h2 = len(self._t2) - 1
+        n2 = b_ // d
+        work2 = jnp.concatenate([state.lpf2_hist, yq[:, None, :]], axis=-1)
+        y2 = conv1d_banded(work2.reshape(c, h2 + b_), self._t2[::-1], d, n2)  # (C, n2)
+        lpf2_hist = work2[..., b_:]
+
+        if self._tdc is not None:
+            ll = cfg.dc_length
+            h3 = 4 * ll - 4
+            t_delay = 2 * (ll - 1)
+            work3 = jnp.concatenate([state.dc_hist[:, 0, :], y2], axis=-1)  # (C, h3+n2)
+
+            def ma(v):
+                s = jnp.cumsum(v, axis=-1)
+                sh = jnp.concatenate(
+                    [jnp.zeros((v.shape[0], ll), v.dtype), s[:, :-ll]], axis=-1
+                )
+                return (s - sh) * jnp.float32(1.0 / ll)
+
+            m = ma(ma(ma(ma(work3))))
+            y3 = work3[:, h3 - t_delay : h3 - t_delay + n2] - m[:, h3:]
+            dc_hist = work3[:, n2:][:, None, :]
+        else:
+            y3, dc_hist = y2, state.dc_hist
+        return (lpf1_hist, quad_prev, lpf2_hist, dc_hist), y3
+
+    def make_batched_step_full(
+        self, clock_backend: str = "pallas", *, interpret: bool = False
+    ):
+        """Batched full-block step: (state, x (C, 2, B)) -> (state', symbols,
+        counts).  Every channel advances by exactly ``block`` samples; the
+        server's batch feeder accumulates partial chunks host-side."""
+        if self.exact:
+            raise ValueError("the full-block fast path is float32-only")
+        p = self._clockp
+
+        def step(state: DemodStateFull, x: jnp.ndarray):
+            front, y3 = self._front_batched_full(state, x)
+            outs, counts, clock_state = clock_mm_batched_full(
+                y3, state.clock,
+                omega=p["omega"], gain_omega=p["gain_omega"], mu=p["mu"],
+                gain_mu=p["gain_mu"],
+                omega_relative_limit=p["omega_relative_limit"],
+                backend=clock_backend, interpret=interpret,
+            )
+            new_state = DemodStateFull(*front, clock_state)
+            return new_state, float_to_int8(outs), counts
+
+        return jax.jit(step)
 
     def make_batched_step(self, clock_backend: str = "scan", *, interpret: bool = False):
         """Batched (channel-axis) step.  ``clock_backend='pallas'`` runs the

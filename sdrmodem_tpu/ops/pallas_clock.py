@@ -202,6 +202,7 @@ def clock_mm_tpu(
     omega: jnp.ndarray,  # (C,)
     mu: jnp.ndarray,  # (C,)
     last: jnp.ndarray,  # (C,)
+    ii0: jnp.ndarray | None = None,  # (C,) i32 initial read pointer (default 0)
     *,
     omega_mid: float,
     omega_relative_limit: float,
@@ -233,7 +234,8 @@ def clock_mm_tpu(
     nv = jax.lax.dynamic_update_slice(nv, n_valid.astype(jnp.float32)[None, :], (0, 0))
 
     state = jnp.zeros((8, LANES), jnp.float32)
-    for i, v in enumerate((omega, mu, last)):
+    rows = (omega, mu, last) if ii0 is None else (omega, mu, last, ii0)
+    for i, v in enumerate(rows):
         state = jax.lax.dynamic_update_slice(
             state, v.astype(jnp.float32)[None, :], (i, 0)
         )
