@@ -7,15 +7,22 @@ advancing together in the 128 vector lanes.
 
 Per-lane dynamic windowing (each channel reads x[ii_c .. ii_c+7]) has no
 native TPU gather, so the kernel uses a masked one-hot extraction over a
-small sliding tile:
+sliding subtile:
 
-- a (TILE, C) tile of the soft stream is kept in VMEM scratch and
-  re-based forward whenever any channel's read pointer could leave it;
-  the check is amortised over an unrolled group of symbols (per-symbol
-  strides are bounded by ~omega+2 rows);
-- per symbol, the 8 interpolator taps are placed at each lane's local
-  offset with iota==offset masks and the windowed dot product becomes a
-  (TILE, C) multiply + column reduction on the VPU;
+- per group of UNROLL symbols, an 8-row-aligned subtile of the soft
+  stream is read from the (VMEM-resident) input at the slowest active
+  lane's position; per symbol, the 8 interpolator taps are placed at each
+  lane's local offset with iota==offset masks and the windowed dot
+  product becomes a multiply + column reduction on the VPU;
+- the subtile is ADAPTIVE: when every active lane fits in a small
+  (SUB-row) window — the common case, lanes start each block within
+  SUFFIX samples of each other and drift apart at most ~0.1 samples per
+  symbol (omega is hard-clipped to ±omega_relative_limit) — the group
+  runs on the small window; otherwise a fallback branch runs the same
+  code on the full ``tile``-row window, sized by the wrapper from the
+  provable worst-case spread.  A lane pair whose positions diverge past
+  even that sets the overflow flag (returned to the caller) instead of
+  silently corrupting;
 - the 129-row MMSE bank is evaluated as 8 degree-7 polynomials in the
   *quantised* mu (mu_q = rint(mu*128)/128), which reproduces the table
   to <6e-7 — the table's own literal precision — so numerics match the
@@ -23,7 +30,9 @@ small sliding tile:
 - NaNs are handled explicitly: the C dot product is NaN when ANY of the
   8 window samples is NaN (even under a zero tap), so the data is
   sanitised and the NaN predicate computed from an unweighted window
-  mask (reference src/dsp/clock_recovery_mm.c:107-113).
+  mask (reference src/dsp/clock_recovery_mm.c:107-113);
+- groups where every lane has exhausted its input are skipped entirely
+  (outs is pre-zeroed), so over-provisioned ``num_symbols`` costs ~nothing.
 
 State {omega, mu, last, ii} lives in (1, C) rows; validity masking
 matches the scan formulation (a lane freezes once ii > n_valid - 8).
@@ -46,6 +55,7 @@ LANES = 128
 NTAPS = 8
 POLY_DEG = 7
 UNROLL = 8
+SUB = 128  # fast-branch subtile rows
 
 
 @functools.lru_cache(maxsize=None)
@@ -65,135 +75,155 @@ def _mm_kernel(
     state_ref,  # (8, C) f32 rows: omega, mu, last, ii (rest padding)
     poly_ref,  # (8, 8) f32  [POLY_DEG+1=8 coeffs x 8 taps]
     outs_ref,  # (K, C) f32
-    counts_ref,  # (8, C) f32 row0 = count
+    counts_ref,  # (8, C) f32 row0 = count, row1 = overflow flag
     state_out_ref,  # (8, C) f32
-    tile_ref,  # scratch (TILE, C) f32
+    carry_ref,  # scratch (8, C) f32 rows: omega, mu, last, ii, count
     *,
     num_groups: int,
     tile: int,
+    k_pad: int,
     omega_mid: float,
     omega_lim: float,
     gain_omega: float,
     gain_mu: float,
 ):
     c = y_ref.shape[1]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tile, c), 0)
+    lp = y_ref.shape[0]
     # conservative per-symbol position advance (stride <= omega*(1+lim)+2)
     max_stride = int(np.ceil(omega_mid * 1.02)) + 2
+    span_budget = NTAPS + UNROLL * max_stride  # rows a group can consume
 
-    tile_ref[:, :] = y_ref[pl.ds(0, tile), :]
+    outs_ref[:, :] = jnp.zeros((k_pad, c), jnp.float32)
+    carry_ref[0:4, :] = state_ref[0:4, :]
+    carry_ref[4:, :] = jnp.zeros((4, c), jnp.float32)
+    counts_ref[1, :] = jnp.zeros((c,), jnp.float32)
 
-    def one_symbol(k, omega, mu, last, ii, count, base, data_clean, nan_win):
-        local = (ii - base).astype(jnp.int32)
+    def run_group(k0, data, nan_win, off, s_rows, rows):
+        """Process UNROLL symbols on a (s_rows, C) window at row offset off."""
+        omega = carry_ref[0, :]
+        mu = carry_ref[1, :]
+        last = carry_ref[2, :]
+        ii = carry_ref[3, :]
+        count = carry_ref[4, :]
+        for j in range(UNROLL):
+            local = (ii - off).astype(jnp.int32)
 
-        mu_q = jnp.round(mu * 128.0) * jnp.float32(1.0 / 128.0)
-        taps = jnp.broadcast_to(poly_ref[0, :][:, None], (NTAPS, c))
-        for i in range(1, POLY_DEG + 1):
-            taps = taps * mu_q[None, :] + poly_ref[i, :][:, None]
+            mu_q = jnp.round(mu * 128.0) * jnp.float32(1.0 / 128.0)
+            taps = jnp.broadcast_to(poly_ref[0, :][:, None], (NTAPS, c))
+            for i in range(1, POLY_DEG + 1):
+                taps = taps * mu_q[None, :] + poly_ref[i, :][:, None]
 
-        sel = jnp.zeros((tile, c), jnp.float32)
-        for j in range(NTAPS):
-            hit = rows == (local + j)[None, :]
-            sel = sel + jnp.where(hit, taps[j][None, :], 0.0)
-        hit0 = rows == local[None, :]
-        # nan_win[t] flags a NaN anywhere in rows [t, t+7]; one extraction
-        # at the window start replaces the 8-tap unweighted mask
-        y = jnp.sum(sel * data_clean, axis=0)
-        is_nan = jnp.sum(jnp.where(hit0, nan_win, 0.0), axis=0) > 0.0
+            sel = jnp.zeros((s_rows, c), jnp.float32)
+            for t in range(NTAPS):
+                hit = rows == (local + t)[None, :]
+                sel = sel + jnp.where(hit, taps[t][None, :], 0.0)
+            hit0 = rows == local[None, :]
+            y = jnp.sum(sel * data, axis=0)
+            is_nan = jnp.sum(jnp.where(hit0, nan_win, 0.0), axis=0) > 0.0
 
-        valid = ii <= nvalid_ref[0, :] - jnp.float32(NTAPS)
-        out = jnp.where(is_nan, jnp.float32(0.0), y)
+            valid = ii <= nvalid_ref[0, :] - jnp.float32(NTAPS)
+            out = jnp.where(is_nan, jnp.float32(0.0), y)
 
-        sgn_last = jnp.where(last < 0, jnp.float32(-1.0), jnp.float32(1.0))
-        sgn_out = jnp.where(out < 0, jnp.float32(-1.0), jnp.float32(1.0))
-        mm = sgn_last * out - sgn_out * last
-        omega_n = omega + jnp.float32(gain_omega) * mm
-        dev = omega_n - jnp.float32(omega_mid)
-        clip = jnp.float32(omega_lim)
-        omega_n = jnp.float32(omega_mid) + jnp.float32(0.5) * (
-            jnp.abs(dev + clip) - jnp.abs(dev - clip)
-        )
-        mu_n = mu + omega_n + jnp.float32(gain_mu) * mm
-        stride_n = jnp.floor(mu_n)
-        mu_n = mu_n - stride_n
+            sgn_last = jnp.where(last < 0, jnp.float32(-1.0), jnp.float32(1.0))
+            sgn_out = jnp.where(out < 0, jnp.float32(-1.0), jnp.float32(1.0))
+            mm = sgn_last * out - sgn_out * last
+            omega_n = omega + jnp.float32(gain_omega) * mm
+            dev = omega_n - jnp.float32(omega_mid)
+            clip = jnp.float32(omega_lim)
+            omega_n = jnp.float32(omega_mid) + jnp.float32(0.5) * (
+                jnp.abs(dev + clip) - jnp.abs(dev - clip)
+            )
+            mu_n = mu + omega_n + jnp.float32(gain_mu) * mm
+            stride_n = jnp.floor(mu_n)
+            mu_n = mu_n - stride_n
 
-        new_mu = jnp.where(is_nan, mu, mu_n)
-        new_omega = jnp.where(is_nan, omega, omega_n)
-        new_last = jnp.where(is_nan, last, out)
-        stride = jnp.where(is_nan, jnp.floor(omega), stride_n)
+            new_mu = jnp.where(is_nan, mu, mu_n)
+            new_omega = jnp.where(is_nan, omega, omega_n)
+            new_last = jnp.where(is_nan, last, out)
+            stride = jnp.where(is_nan, jnp.floor(omega), stride_n)
 
-        outs_ref[pl.ds(k, 1), :] = jnp.where(valid, out, 0.0)[None, :]
+            outs_ref[pl.ds(k0 + j, 1), :] = jnp.where(valid, out, 0.0)[None, :]
 
-        omega = jnp.where(valid, new_omega, omega)
-        mu = jnp.where(valid, new_mu, mu)
-        last = jnp.where(valid, new_last, last)
-        ii = jnp.where(valid, ii + stride, ii)
-        count = count + valid.astype(jnp.float32)
-        return omega, mu, last, ii, count
+            omega = jnp.where(valid, new_omega, omega)
+            mu = jnp.where(valid, new_mu, mu)
+            last = jnp.where(valid, new_last, last)
+            ii = jnp.where(valid, ii + stride, ii)
+            count = count + valid.astype(jnp.float32)
+        carry_ref[0, :] = omega
+        carry_ref[1, :] = mu
+        carry_ref[2, :] = last
+        carry_ref[3, :] = ii
+        carry_ref[4, :] = count
 
-    def group(o, carry):
-        omega, mu, last, ii, count, base = carry
-
-        # one rebase check per UNROLL symbols; 8-row-aligned shift so the
-        # refreshed tile slice stays sublane-aligned.  Only ACTIVE lanes
-        # constrain the window: frozen lanes (padding channels, or lanes
-        # whose input is exhausted) must neither hold the tile back nor
-        # trigger rebases, so the min/max are masked.  The shift is bounded
-        # by the slowest active lane, so the tile tolerates an
-        # inter-channel spread of up to tile - NTAPS - UNROLL*max_stride.
-        active = ii <= nvalid_ref[0, :] - jnp.float32(NTAPS)
-        local = ii - base
-        neg = jnp.float32(-1e9)
-        pos = jnp.float32(1e9)
-        local_max = jnp.max(jnp.where(active, local, neg))
-        local_min = jnp.min(jnp.where(active, local, pos))
-        need = local_max + NTAPS + UNROLL * max_stride > jnp.float32(tile)
-        shift = jnp.maximum(jnp.floor(local_min / 8.0) * jnp.float32(8.0), 0.0)
-        base = jnp.where(need, base + shift, base)
-
-        @pl.when(need)
-        def _():
-            tile_ref[:, :] = y_ref[pl.ds(base.astype(jnp.int32), tile), :]
-
-        data = tile_ref[:, :]
+    def nan_precompute(data, s_rows):
         nan_f = jnp.isnan(data).astype(jnp.float32)
-        data_clean = jnp.where(jnp.isnan(data), jnp.float32(0.0), data)
-        # nan_win[t] = any NaN in rows [t, t+NTAPS-1] (8 shifted maxima,
-        # amortised over the whole group)
+        clean = jnp.where(jnp.isnan(data), jnp.float32(0.0), data)
+        # nan_win[t] = any NaN in rows [t, t+NTAPS-1]
         nan_win = nan_f
         for j in range(1, NTAPS):
             shifted = jnp.concatenate(
                 [nan_f[j:, :], jnp.zeros((j, nan_f.shape[1]), jnp.float32)], axis=0
             )
             nan_win = jnp.maximum(nan_win, shifted)
+        return clean, nan_win
 
+    rows_sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, c), 0)
+    rows_tile = jax.lax.broadcasted_iota(jnp.int32, (tile, c), 0)
+
+    def group(o, _):
+        ii = carry_ref[3, :]
+        active = ii <= nvalid_ref[0, :] - jnp.float32(NTAPS)
+        any_active = jnp.max(active.astype(jnp.float32)) > 0.0
+        neg = jnp.float32(-1e9)
+        pos = jnp.float32(1e9)
+        amin = jnp.min(jnp.where(active, ii, pos))
+        amax = jnp.max(jnp.where(active, ii, neg))
+        off = jnp.clip(
+            jnp.floor(amin / 8.0) * jnp.float32(8.0),
+            0.0,
+            jnp.float32(lp - tile),
+        )
+        span = amax - off + jnp.float32(span_budget)
+        fast = span <= jnp.float32(SUB)
         k0 = o * UNROLL
-        for j in range(UNROLL):
-            omega, mu, last, ii, count = one_symbol(
-                k0 + j, omega, mu, last, ii, count, base, data_clean, nan_win
-            )
-        return omega, mu, last, ii, count, base
 
-    omega, mu, last, ii, count, _ = jax.lax.fori_loop(
-        jnp.int32(0),
-        jnp.int32(num_groups),
-        group,
-        (
-            state_ref[0, :],
-            state_ref[1, :],
-            state_ref[2, :],
-            state_ref[3, :],
-            jnp.zeros((c,), jnp.float32),
-            jnp.float32(0.0),
-        ),
-    )
-    counts_ref[0, :] = count
-    counts_ref[1:, :] = jnp.zeros((7, c), jnp.float32)
-    state_out_ref[0, :] = omega
-    state_out_ref[1, :] = mu
-    state_out_ref[2, :] = last
-    state_out_ref[3, :] = ii
+        @pl.when(any_active & fast)
+        def _():
+            data = y_ref[pl.ds(off.astype(jnp.int32), SUB), :]
+            clean, nan_win = nan_precompute(data, SUB)
+            run_group(k0, clean, nan_win, off, SUB, rows_sub)
+
+        @pl.when(any_active & ~fast)
+        def _():
+            data = y_ref[pl.ds(off.astype(jnp.int32), tile), :]
+            clean, nan_win = nan_precompute(data, tile)
+            run_group(k0, clean, nan_win, off, tile, rows_tile)
+
+        # a lane past the big window would read garbage — flag it
+        overflow = (span > jnp.float32(tile)).astype(jnp.float32)
+        counts_ref[1, :] = jnp.maximum(
+            counts_ref[1, :], jnp.broadcast_to(overflow[None], (c,))
+        )
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(num_groups), group, 0)
+
+    counts_ref[0, :] = carry_ref[4, :]
+    counts_ref[2:, :] = jnp.zeros((6, c), jnp.float32)
+    state_out_ref[0:4, :] = carry_ref[0:4, :]
     state_out_ref[4:, :] = jnp.zeros((4, c), jnp.float32)
+
+
+def required_tile(num_symbols: int, omega_mid: float, omega_relative_limit: float) -> int:
+    """Worst-case window: lanes start a block within SUFFIX samples of each
+    other (the full-block suffix hand-off) and can drift apart at most
+    2*omega_mid*omega_relative_limit samples per symbol plus transient
+    jitter, so spread <= 64 + 0.25*num_symbols covers the pathological
+    all-lanes-diverging case; add the group's own consumption."""
+    spread = 64.0 + 0.25 * num_symbols
+    max_stride = int(np.ceil(omega_mid * 1.02)) + 2
+    need = int(np.ceil((spread + NTAPS + UNROLL * max_stride) / 128.0)) * 128
+    return max(need, 2 * SUB)
 
 
 def clock_mm_tpu(
@@ -209,7 +239,7 @@ def clock_mm_tpu(
     gain_omega: float,
     gain_mu: float,
     num_symbols: int,
-    tile: int = 512,
+    tile: int | None = None,
     interpret: bool = False,
 ):
     """Returns (outs (C, K), counts (C,) i32, final {omega, mu, last, ii (C,)}).
@@ -217,16 +247,21 @@ def clock_mm_tpu(
     Semantics match ``clock_mm_stream``'s scan (same masking and NaN
     branch); the interpolator uses the Farrow-polynomial bank (max tap
     error 6e-7 vs the table).  K is ``num_symbols`` rounded up to the
-    unroll factor (a frozen lane simply stops producing).
+    unroll factor (a frozen lane simply stops producing).  The second
+    counts row (exposed via final state ``overflow``) is 1.0 when lane
+    positions spread past the fallback window — inputs violating the
+    drift bound of ``required_tile``.
     """
     ch, length = y.shape
     if ch > LANES:
         raise ValueError("clock_mm_tpu handles up to 128 channels per call")
     num_groups = -(-int(num_symbols) // UNROLL)
     k_pad = num_groups * UNROLL
+    if tile is None:
+        tile = required_tile(num_symbols, omega_mid, omega_relative_limit)
 
-    # headroom: the final rebase can shift base up to the last read position
-    lp = -(-length // 8) * 8 + 2 * tile
+    # headroom: window reads reach up to ceil(max ii/8)*8 + tile
+    lp = -(-length // 8) * 8 + tile + 8
     yt = jnp.zeros((lp, LANES), jnp.float32)
     yt = jax.lax.dynamic_update_slice(yt, y.T.astype(jnp.float32), (0, 0))
 
@@ -251,6 +286,7 @@ def clock_mm_tpu(
                 _mm_kernel,
                 num_groups=num_groups,
                 tile=tile,
+                k_pad=k_pad,
                 omega_mid=float(np.float32(omega_mid)),
                 omega_lim=lim,
                 gain_omega=float(np.float32(gain_omega)),
@@ -272,7 +308,7 @@ def clock_mm_tpu(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ),
-            scratch_shapes=[pltpu.VMEM((tile, LANES), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((8, LANES), jnp.float32)],
             interpret=interpret,
         )(yt, nv, state, poly)
 
@@ -281,5 +317,6 @@ def clock_mm_tpu(
         mu=state_out[1, :ch],
         last=state_out[2, :ch],
         ii=state_out[3, :ch].astype(jnp.int32),
+        overflow=counts[1, :ch],
     )
     return outs[:, :ch].T, counts[0, :ch].astype(jnp.int32), final
