@@ -36,7 +36,7 @@ def main() -> None:
     baseline_msps = 11.0  # reference/test/perf_fsk_modem.c:100-104 (M1 single core)
 
     channels = int(os.environ.get("SDRM_BENCH_CHANNELS", "128"))
-    block = int(os.environ.get("SDRM_BENCH_BLOCK", str(4096 * 8)))
+    block = int(os.environ.get("SDRM_BENCH_BLOCK", str(4096 * 16)))
     iters = int(os.environ.get("SDRM_BENCH_ITERS", "8"))
     clock_backend = os.environ.get("SDRM_BENCH_CLOCK", "pallas")
     if jax.devices()[0].platform == "cpu":
@@ -69,10 +69,7 @@ def main() -> None:
         # clock state — no ragged bookkeeping on the hot path
         step_full = pipe.make_batched_step_full(clock_backend)
         step = lambda s, xx, nv: step_full(s, xx)
-        state = jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (channels,) + a.shape),
-            pipe.init_full_state(),
-        )
+        state = pipe.init_full_state(channels)
     else:
         step = pipe.make_batched_step(clock_backend)
         state = jax.tree.map(

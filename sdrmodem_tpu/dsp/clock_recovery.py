@@ -57,7 +57,7 @@ SUFFIX = 64
 
 
 class ClockFullState(NamedTuple):
-    """State of the full-block clock path.
+    """State of the full-block clock path (time-major, channel-last).
 
     Instead of extracting the variable-length unconsumed tail (a gather
     with a per-channel dynamic start — an order of magnitude slower than
@@ -68,20 +68,20 @@ class ClockFullState(NamedTuple):
     reference's tail hand-off (src/dsp/clock_recovery_mm.c:119-135).
     """
 
-    omega: jnp.ndarray  # () f32
-    mu: jnp.ndarray  # () f32
-    last_sample: jnp.ndarray  # () f32
-    suffix: jnp.ndarray  # (SUFFIX,) f32 — last SUFFIX input samples
-    resid: jnp.ndarray  # () i32 — unconsumed count (< SUFFIX)
+    omega: jnp.ndarray  # (C,) f32
+    mu: jnp.ndarray  # (C,) f32
+    last_sample: jnp.ndarray  # (C,) f32
+    suffix: jnp.ndarray  # (SUFFIX, C) f32 — last SUFFIX input samples
+    resid: jnp.ndarray  # (C,) i32 — unconsumed count (< SUFFIX)
 
 
-def initial_full_state(omega: float, mu: float = 0.5) -> ClockFullState:
+def initial_full_state(omega: float, channels: int, mu: float = 0.5) -> ClockFullState:
     return ClockFullState(
-        omega=jnp.float32(omega),
-        mu=jnp.float32(mu),
-        last_sample=jnp.float32(0.0),
-        suffix=jnp.zeros(SUFFIX, jnp.float32),
-        resid=jnp.int32(0),
+        omega=jnp.full((channels,), omega, jnp.float32),
+        mu=jnp.full((channels,), mu, jnp.float32),
+        last_sample=jnp.zeros((channels,), jnp.float32),
+        suffix=jnp.zeros((SUFFIX, channels), jnp.float32),
+        resid=jnp.zeros((channels,), jnp.int32),
     )
 
 
@@ -265,8 +265,8 @@ def _mm_scan_core(
 
 
 def clock_mm_batched_full(
-    x: jnp.ndarray,  # (C, N) float32 — every channel a FULL block
-    state: ClockFullState,  # batched: leaves with leading (C,)
+    x_tm: jnp.ndarray,  # (N, C) float32 time-major — every channel a FULL block
+    state: ClockFullState,  # channel-last leaves
     *,
     omega: float,
     gain_omega: float,
@@ -279,12 +279,14 @@ def clock_mm_batched_full(
 ):
     """Batched M&M for the full-block fast path (suffix-carry state).
 
-    The work buffer is a STATIC concat [suffix, x] and the new suffix a
-    static slice — no per-channel dynamic starts anywhere on the data
+    Time-major end to end: the work buffer is a STATIC row-concat
+    [suffix, x] in the kernel's native (time, lane) layout — no
+    per-channel dynamic starts and no transposes anywhere on the data
     path; only the scalar read pointer ``SUFFIX - resid`` is dynamic, and
     the kernel/scan already consumes that as part of its carried state.
+    Returns (outs (C, K), counts (C,), new_state).
     """
-    c, n = x.shape
+    n, c = x_tm.shape
     omega_mid = np.float32(omega)
     omega_lim = np.float32(omega_mid * np.float32(omega_relative_limit))
     if num_symbols is None:
@@ -292,7 +294,7 @@ def clock_mm_batched_full(
             n + SUFFIX, float(omega_mid), omega_relative_limit, gain_mu
         )
 
-    work = jnp.concatenate([state.suffix, x.astype(jnp.float32)], axis=1)
+    work = jnp.concatenate([state.suffix, x_tm.astype(jnp.float32)], axis=0)
     w = n + SUFFIX
     base_valid = jnp.full((c,), w, jnp.int32)
     ii0 = (jnp.int32(SUFFIX) - state.resid.astype(jnp.int32)).astype(jnp.int32)
@@ -312,6 +314,7 @@ def clock_mm_batched_full(
             gain_omega=gain_omega,
             gain_mu=gain_mu,
             num_symbols=int(num_symbols),
+            time_major=True,
             interpret=interpret,
         )
         ii_f = fin["ii"]
@@ -327,12 +330,12 @@ def clock_mm_batched_full(
             return outs, count, ii_f, mu_f, om_f, la_f
 
         outs, counts, ii_f, mu_f, omega_f, last_f = jax.vmap(one)(
-            work, ii0, state.mu, state.omega, state.last_sample
+            work.T, ii0, state.mu, state.omega, state.last_sample
         )
 
     resid = jnp.clip(jnp.int32(w) - jnp.minimum(ii_f, w), 0, SUFFIX - 1)
     new_state = ClockFullState(
-        omega_f, mu_f, last_f, work[:, -SUFFIX:], resid.astype(jnp.int32)
+        omega_f, mu_f, last_f, work[-SUFFIX:, :], resid.astype(jnp.int32)
     )
     return outs, counts, new_state
 

@@ -59,12 +59,16 @@ class DemodStateFull(NamedTuple):
     """State of the full-block fast path: every history length is a
     compile-time constant (the stream's steady state when each step
     consumes exactly ``block`` samples), so history splicing is static
-    concat/slice — no dynamic-start copies, masks, or gathers."""
+    concat/slice — no dynamic-start copies, masks, or gathers.
 
-    lpf1_hist: jnp.ndarray  # (2, t1-1) f32
-    quad_prev: jnp.ndarray  # (2,) f32
-    lpf2_hist: jnp.ndarray  # (1, t2-1) f32
-    dc_hist: jnp.ndarray | None  # (1, 4L-4) f32
+    Layout is TIME-MAJOR with channels along the 128 vector lanes (padded
+    to a lane multiple): the layout every Pallas kernel consumes, so the
+    whole hot path runs without a single transpose."""
+
+    lpf1_hist: jnp.ndarray  # (t1-1, 2*Cp) f32
+    quad_prev: jnp.ndarray  # (1, 2*Cp) f32
+    lpf2_hist: jnp.ndarray  # (t2-1, Cp) f32
+    dc_hist: jnp.ndarray | None  # (4L-4, Cp) f32
     clock: "ClockFullState"
 
 
@@ -360,72 +364,75 @@ class DemodPipeline:
 
     # ------------------------------------------------------------------
     # full-block fast path: static history lengths, no ragged bookkeeping
-    def init_full_state(self) -> DemodStateFull:
+    def init_full_state(self, channels: int) -> DemodStateFull:
         d = self.config.decimation
         if self.block % d != 0:
             raise ValueError("full-block path requires block % decimation == 0")
         p = self._clockp
+        cp = -(-channels // 128) * 128  # lane-padded channel count
         return DemodStateFull(
-            lpf1_hist=jnp.zeros((2, len(self._t1) - 1), jnp.float32),
-            quad_prev=jnp.zeros(2, jnp.float32),
-            lpf2_hist=jnp.zeros((1, len(self._t2) - 1), jnp.float32),
+            lpf1_hist=jnp.zeros((len(self._t1) - 1, 2 * cp), jnp.float32),
+            quad_prev=jnp.zeros((1, 2 * cp), jnp.float32),
+            lpf2_hist=jnp.zeros((len(self._t2) - 1, cp), jnp.float32),
             dc_hist=(
-                jnp.zeros((1, 4 * self.config.dc_length - 4), jnp.float32)
+                jnp.zeros((4 * self.config.dc_length - 4, cp), jnp.float32)
                 if self._tdc is not None
                 else None
             ),
-            clock=initial_full_state(p["omega"], p["mu"]),
+            clock=initial_full_state(p["omega"], cp, p["mu"]),
         )
 
-    def _front_batched_full(self, state: DemodStateFull, x: jnp.ndarray):
+    def _front_batched_full(
+        self, state: DemodStateFull, x_tm: jnp.ndarray, *, interpret: bool = False
+    ):
         """Front-end when every channel consumes exactly ``block`` samples.
 
         In steady state every FIR's carried history has a FIXED length
         (lpf1/dc: taps-1; lpf2: taps-1, invariant because block %
-        decimation == 0), so [history, x] is a static concat and the new
-        history a static slice — the dynamic-start copies and masks of the
-        ragged path (which lower to gathers, ~10x slower than block copies
-        on TPU) vanish entirely.
+        decimation == 0), so [history, x] is a static row-concat and the
+        new history a static slice — the dynamic-start copies and masks of
+        the ragged path (which lower to gathers, ~10x slower than block
+        copies on TPU) vanish entirely.  All arrays are time-major
+        (rows = samples, lanes = channels): x_tm is (B, 2*Cp) with I in
+        lanes [0, Cp) and Q in [Cp, 2Cp).
         """
-        from sdrmodem_tpu.dsp.fir import conv1d_banded
+        from sdrmodem_tpu.ops.pallas_fir import conv1d_banded_tm
 
         cfg = self.config
         b_ = self.block
         d = cfg.decimation
-        c = x.shape[0]
-        h1 = len(self._t1) - 1
+        cp2 = x_tm.shape[1]
+        cp = cp2 // 2
 
-        work1 = jnp.concatenate([state.lpf1_hist, x], axis=-1)  # (C, 2, h1+B)
-        y1 = conv1d_banded(
-            work1.reshape(c * 2, h1 + b_), self._t1[::-1], 1, b_
-        ).reshape(c, 2, b_)
-        lpf1_hist = work1[..., b_:]
+        work1 = jnp.concatenate([state.lpf1_hist, x_tm], axis=0)  # (h1+B, 2Cp)
+        y1 = conv1d_banded_tm(work1, self._t1[::-1], 1, b_, interpret=interpret)
+        lpf1_hist = work1[b_:, :]
 
-        shifted = jnp.concatenate([state.quad_prev[..., None], y1[..., :-1]], axis=-1)
-        re = y1[:, 0] * shifted[:, 0] + y1[:, 1] * shifted[:, 1]
-        im = y1[:, 1] * shifted[:, 0] - y1[:, 0] * shifted[:, 1]
+        shifted = jnp.concatenate([state.quad_prev, y1[:-1, :]], axis=0)
+        i, q = y1[:, :cp], y1[:, cp:]
+        si, sq = shifted[:, :cp], shifted[:, cp:]
+        re = i * si + q * sq
+        im = q * si - i * sq
         if self.use_atan_lut:
             ang = fast_atan2(im, re)
         else:
             both_zero = ~((jnp.abs(im) > 0) | (jnp.abs(re) > 0))
             ang = jnp.where(both_zero, jnp.float32(0.0), jnp.arctan2(im, re))
-        yq = jnp.float32(cfg.quad_gain) * ang  # (C, B)
-        quad_prev = y1[..., -1]
+        yq = jnp.float32(cfg.quad_gain) * ang  # (B, Cp)
+        quad_prev = y1[-1:, :]
 
-        h2 = len(self._t2) - 1
         n2 = b_ // d
-        work2 = jnp.concatenate([state.lpf2_hist, yq[:, None, :]], axis=-1)
-        y2 = conv1d_banded(work2.reshape(c, h2 + b_), self._t2[::-1], d, n2)  # (C, n2)
-        lpf2_hist = work2[..., b_:]
+        work2 = jnp.concatenate([state.lpf2_hist, yq], axis=0)  # (h2+B, Cp)
+        y2 = conv1d_banded_tm(work2, self._t2[::-1], d, n2, interpret=interpret)
+        lpf2_hist = work2[b_:, :]
 
         if self._tdc is not None:
             # the DC blocker is LTI: one causal (4L-3)-tap FIR (delay minus
             # 4-cascade moving average, dsp/elementwise.py:dc_blocker_taps)
-            # through the same banded matmul — measured faster than the
-            # cascaded-cumsum formulation on TPU (1.3 ms vs 2.7 ms)
-            work3 = jnp.concatenate([state.dc_hist[:, 0, :], y2], axis=-1)  # (C, h3+n2)
-            y3 = conv1d_banded(work3, self._tdc[::-1], 1, n2)
-            dc_hist = work3[:, n2:][:, None, :]
+            # through the same banded matmul
+            work3 = jnp.concatenate([state.dc_hist, y2], axis=0)  # (h3+n2, Cp)
+            y3 = conv1d_banded_tm(work3, self._tdc[::-1], 1, n2, interpret=interpret)
+            dc_hist = work3[n2:, :]
         else:
             y3, dc_hist = y2, state.dc_hist
         return (lpf1_hist, quad_prev, lpf2_hist, dc_hist), y3
@@ -433,15 +440,27 @@ class DemodPipeline:
     def make_batched_step_full(
         self, clock_backend: str = "pallas", *, interpret: bool = False
     ):
-        """Batched full-block step: (state, x (C, 2, B)) -> (state', symbols,
-        counts).  Every channel advances by exactly ``block`` samples; the
-        server's batch feeder accumulates partial chunks host-side."""
+        """Batched full-block step: (state, x (C, 2, B)) -> (state', symbols
+        (C, K), counts (C,)).  Every channel advances by exactly ``block``
+        samples; the server's batch feeder accumulates partial chunks
+        host-side.  One (C,2,B) -> (B,2C) transpose at the input is the
+        only re-layout in the whole step."""
         if self.exact:
             raise ValueError("the full-block fast path is float32-only")
         p = self._clockp
+        import jax as _jax
+
+        if _jax.default_backend() == "cpu":
+            interpret = True  # Mosaic kernels need a TPU; CPU = interpret mode
 
         def step(state: DemodStateFull, x: jnp.ndarray):
-            front, y3 = self._front_batched_full(state, x)
+            c = x.shape[0]
+            cp = state.quad_prev.shape[1] // 2
+            x_tm = jnp.transpose(x, (2, 1, 0))  # (B, 2, C)
+            if cp != c:
+                x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, cp - c)))
+            x_tm = x_tm.reshape(self.block, 2 * cp)
+            front, y3 = self._front_batched_full(state, x_tm, interpret=interpret)
             outs, counts, clock_state = clock_mm_batched_full(
                 y3, state.clock,
                 omega=p["omega"], gain_omega=p["gain_omega"], mu=p["mu"],
@@ -450,7 +469,7 @@ class DemodPipeline:
                 backend=clock_backend, interpret=interpret,
             )
             new_state = DemodStateFull(*front, clock_state)
-            return new_state, float_to_int8(outs), counts
+            return new_state, float_to_int8(outs[:c]), counts[:c]
 
         return jax.jit(step)
 

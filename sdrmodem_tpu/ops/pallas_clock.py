@@ -240,6 +240,7 @@ def clock_mm_tpu(
     gain_mu: float,
     num_symbols: int,
     tile: int | None = None,
+    time_major: bool = False,
     interpret: bool = False,
 ):
     """Returns (outs (C, K), counts (C,) i32, final {omega, mu, last, ii (C,)}).
@@ -252,7 +253,10 @@ def clock_mm_tpu(
     positions spread past the fallback window — inputs violating the
     drift bound of ``required_tile``.
     """
-    ch, length = y.shape
+    if time_major:
+        length, ch = y.shape
+    else:
+        ch, length = y.shape
     if ch > LANES:
         raise ValueError("clock_mm_tpu handles up to 128 channels per call")
     num_groups = -(-int(num_symbols) // UNROLL)
@@ -263,7 +267,9 @@ def clock_mm_tpu(
     # headroom: window reads reach up to ceil(max ii/8)*8 + tile
     lp = -(-length // 8) * 8 + tile + 8
     yt = jnp.zeros((lp, LANES), jnp.float32)
-    yt = jax.lax.dynamic_update_slice(yt, y.T.astype(jnp.float32), (0, 0))
+    yt = jax.lax.dynamic_update_slice(
+        yt, (y if time_major else y.T).astype(jnp.float32), (0, 0)
+    )
 
     nv = jnp.zeros((1, LANES), jnp.float32)
     nv = jax.lax.dynamic_update_slice(nv, n_valid.astype(jnp.float32)[None, :], (0, 0))

@@ -21,10 +21,7 @@ RNG = np.random.default_rng(11)
 
 
 def _collect(step_full, pipe, x_blocks):
-    state = jax.tree.map(
-        lambda a: jnp.broadcast_to(a, (x_blocks[0].shape[0],) + a.shape),
-        pipe.init_full_state(),
-    )
+    state = pipe.init_full_state(x_blocks[0].shape[0])
     outs = []
     for xb in x_blocks:
         state, symbols, counts = step_full(state, jnp.asarray(xb))
