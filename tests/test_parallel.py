@@ -74,3 +74,39 @@ def test_time_sharded_equals_unsharded(resources_dir):
     # halo-exchanged front-end is numerically identical; allow the golden
     # tolerance for conv-partitioning float wiggle through the M&M loop
     assert diff.max() <= 2 and (diff > 0).mean() < 0.01
+
+
+def test_channel_sharded_full_path(resources_dir):
+    """The production full-block fast path under shard_map: every shard
+    runs its local 128-lane batched step; output matches the unsharded
+    full-block step exactly (same program per lane, no collectives)."""
+    from sdrmodem_tpu.dsp.pipeline import DemodPipeline
+    from sdrmodem_tpu.parallel.channels import ShardedChannelDemodFull
+
+    iq = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)[:8192]
+    channels = 16
+    mesh = _mesh("channel")
+    sharded = ShardedChannelDemodFull(
+        CFG, 8192, channels, mesh, clock_backend="scan"
+    )
+    state = sharded.init_state()
+    batch = np.tile(iq, (channels, 1))
+    state, symbols, counts = sharded.step(state, sharded.place_input(batch))
+    counts = np.asarray(counts)
+    symbols = np.asarray(symbols)
+    assert (counts == counts[0]).all() and counts[0] > 0
+    for c in range(channels):
+        np.testing.assert_array_equal(
+            symbols[c, : counts[0]], symbols[0, : counts[0]]
+        )
+
+    pipe = DemodPipeline(CFG, 8192, exact=False)
+    step = pipe.make_batched_step_full("scan")
+    st = pipe.init_full_state(1)
+    x = np.stack([iq.real, iq.imag])[None].astype(np.float32)
+    st, ref_sym, ref_cnt = step(st, jnp.asarray(x))
+    ref_cnt = int(np.asarray(ref_cnt)[0])
+    assert ref_cnt == counts[0]
+    np.testing.assert_array_equal(
+        symbols[0, : counts[0]], np.asarray(ref_sym)[0, :ref_cnt]
+    )
