@@ -88,6 +88,11 @@ class ServerConfig:
     tx_plutosdr_timeout_millis: int = 10000
     # TPU-native extensions (absent from the reference; defaults keep parity)
     bench_channels: int = 64
+    # demod_mode: "exact" runs one deterministic f64-accumulated pipeline
+    # per client (bit parity with the reference goldens); "fast" batches
+    # every client on a shared SDR stream into ONE full-block Pallas step
+    # (128 lanes, the TPU production path, ~140x the reference throughput)
+    demod_mode: str = "exact"
 
     @classmethod
     def load(cls, path: str | Path) -> "ServerConfig":
@@ -125,4 +130,7 @@ class ServerConfig:
             values.get("tx_plutosdr_timeout_millis", cfg.tx_plutosdr_timeout_millis)
         )
         cfg.bench_channels = int(values.get("bench_channels", cfg.bench_channels))
+        cfg.demod_mode = str(values.get("demod_mode", cfg.demod_mode))
+        if cfg.demod_mode not in ("exact", "fast"):
+            raise ConfigError(f"unsupported demod_mode: {cfg.demod_mode}")
         return cfg

@@ -72,7 +72,14 @@ class RxKey:
 
 
 class RxSession:
-    """Per-client demodulation lane (dsp_worker analog)."""
+    """Per-client demodulation lane (dsp_worker analog).
+
+    In ``demod_mode = exact`` (default) the session owns a deterministic
+    f64-accumulated streaming pipeline and a consumer task, mirroring the
+    reference's one-thread-per-client.  In ``demod_mode = fast`` the
+    session is a LANE of its stream's BatchedRxGroup: the group steps all
+    clients through one full-block Pallas program and calls ``emit`` with
+    this lane's symbols."""
 
     def __init__(
         self,
@@ -86,18 +93,27 @@ class RxSession:
         self.writer = writer
         self.config = config
         fsk = req.fsk_settings
-        self.demod = DemodPipeline(
-            FskDemodConfig(
-                sampling_freq=req.rx_sampling_freq,
-                baud_rate=req.demod_baud_rate,
-                deviation=fsk.demod_fsk_deviation,
-                decimation=req.demod_decimation,
-                transition_width=fsk.demod_fsk_transition_width,
-                use_dc_block=fsk.demod_fsk_use_dc_block,
-            ),
-            block_size=config.buffer_size,
-            exact=True,
-        ).streamer()
+        self.fsk_config = FskDemodConfig(
+            sampling_freq=req.rx_sampling_freq,
+            baud_rate=req.demod_baud_rate,
+            deviation=fsk.demod_fsk_deviation,
+            decimation=req.demod_decimation,
+            transition_width=fsk.demod_fsk_transition_width,
+            use_dc_block=fsk.demod_fsk_use_dc_block,
+        )
+        self.mode = config.demod_mode
+        if self.mode == "exact":
+            self.demod = DemodPipeline(
+                self.fsk_config, block_size=config.buffer_size, exact=True
+            ).streamer()
+        else:
+            # constructing the pipeline validates the FSK parameters at
+            # request time exactly like the exact path (jit itself is lazy);
+            # the stream's BatchedRxGroup owns the compiled batched step
+            self.demod = None
+            DemodPipeline(self.fsk_config, block_size=config.buffer_size, exact=False)
+        self.group = None  # set by SdrStream.add_session in fast mode
+        self.lane = -1
         self.doppler: Doppler | None = None
         if req.doppler is not None:
             start = req.file_settings.start_time_seconds if req.file_settings else 0
@@ -127,7 +143,22 @@ class RxSession:
         self.symbols_out = 0
 
     def start(self):
+        if self.mode == "fast":
+            log.info("[%d] dsp_worker is starting (batched fast lane)", self.id)
+            return
         self.task = asyncio.create_task(self._run(), name=f"rx-session-{self.id}")
+
+    async def emit(self, symbols: np.ndarray):
+        """Deliver one lane's demodulated symbols (fast mode)."""
+        self.symbols_out += len(symbols)
+        if self.demod_dump is not None:
+            self.demod_dump.write(symbols.tobytes())
+        if self.to_socket and self.writer is not None:
+            try:
+                self.writer.write(symbols.tobytes())
+                await self.writer.drain()
+            except (ConnectionError, RuntimeError):
+                pass  # teardown arrives via the control loop
 
     async def _run(self):
         log.info("[%d] dsp_worker is starting", self.id)
@@ -175,9 +206,121 @@ class RxSession:
         await self.queue.put(buf)
 
     async def stop(self):
+        if self.mode == "fast":
+            if self.rx_dump:
+                self.rx_dump.close()
+            if self.demod_dump:
+                self.demod_dump.close()
+            self.finished.set()
+            log.info(
+                "[%d] dsp_worker stopped (%d samples in, %d symbols out)",
+                self.id, self.samples_in, self.symbols_out,
+            )
+            return
         await self.queue.interrupt()
         if self.task:
             await self.task
+
+
+class BatchedRxGroup:
+    """All fast-mode clients of one SDR stream that share a demod
+    signature, batched as lanes of ONE compiled full-block step.
+
+    This is the TPU-native shape of the reference's thread-per-client
+    model: the stream buffer is broadcast to every lane (the reference's
+    sdr_worker fan-out, src/sdr_worker.c:31-55), per-lane Doppler runs
+    host-side, and a single Pallas program advances all 128 lanes."""
+
+    LANES = 128
+
+    def __init__(self, fsk_config: FskDemodConfig, block: int):
+        import jax.numpy as jnp
+
+        self.fsk_config = fsk_config
+        self.block = block
+        self.pipe = DemodPipeline(fsk_config, block, exact=False)
+        self._step = self.pipe.make_batched_step_full("pallas")
+        self.state = self.pipe.init_full_state(self.LANES)
+        self._init_state_template = self.pipe.init_full_state(1)
+        self.lanes: dict[int, RxSession] = {}
+        self.acc = np.zeros(block, np.complex64)
+        self.fill = 0
+        self._jnp = jnp
+
+    def has_space(self) -> bool:
+        return len(self.lanes) < self.LANES
+
+    def attach(self, session: RxSession) -> int:
+        lane = next(i for i in range(self.LANES) if i not in self.lanes)
+        self._reset_lane(lane)
+        self.lanes[lane] = session
+        session.group = self
+        session.lane = lane
+        return lane
+
+    def detach(self, session: RxSession):
+        if session.lane in self.lanes and self.lanes[session.lane] is session:
+            del self.lanes[session.lane]
+        session.group = None
+
+    def _reset_lane(self, lane: int):
+        """Fresh per-lane stream state (a new client starts from zero
+        history, like a freshly created dsp_worker)."""
+        import jax
+
+        cp = self.state.quad_prev.shape[1] // 2
+
+        def reset(leaf, init):
+            if leaf is None:
+                return None
+            if leaf.ndim == 1:  # clock scalars, (Cp,)
+                return leaf.at[lane].set(init[0])
+            if leaf.shape[-1] == 2 * cp:  # I/Q lane pairs
+                leaf = leaf.at[..., lane].set(init[..., 0])
+                return leaf.at[..., cp + lane].set(init[..., 1])
+            return leaf.at[..., lane].set(init[..., 0])
+
+        self.state = jax.tree.map(
+            reset, self.state, self._init_state_template,
+            is_leaf=lambda x: x is None,
+        )
+
+    async def feed(self, buf: np.ndarray):
+        """Accumulate a stream buffer; step every time a block fills."""
+        buf = np.asarray(buf, np.complex64)
+        i = 0
+        while i < len(buf):
+            take = min(self.block - self.fill, len(buf) - i)
+            self.acc[self.fill : self.fill + take] = buf[i : i + take]
+            self.fill += take
+            i += take
+            if self.fill == self.block:
+                self.fill = 0
+                await self._step_block()
+
+    async def _step_block(self):
+        sessions = dict(self.lanes)
+        if not sessions:
+            return
+        x = np.zeros((self.LANES, 2, self.block), np.float32)
+        for lane, s in sessions.items():
+            chunk = self.acc
+            if s.doppler is not None:
+                chunk = await asyncio.to_thread(s.doppler.process_rx, chunk)
+            x[lane, 0] = chunk.real
+            x[lane, 1] = chunk.imag
+            s.samples_in += self.block
+        self.state, symbols, counts = await asyncio.to_thread(
+            self._step_host, x
+        )
+        for lane, s in sessions.items():
+            c = int(counts[lane])
+            if c:
+                await s.emit(symbols[lane, :c])
+
+    def _step_host(self, x: np.ndarray):
+        state, symbols, counts = self._step(self.state, self._jnp.asarray(x))
+        return state, np.asarray(symbols), np.asarray(counts)
 
 
 class SdrStream:
@@ -189,6 +332,7 @@ class SdrStream:
         self.key = key
         self.device = device
         self.sessions: list[RxSession] = []
+        self.groups: list[BatchedRxGroup] = []  # fast-mode lane batches
         self.task: asyncio.Task | None = None
 
     def start(self):
@@ -196,6 +340,14 @@ class SdrStream:
 
     def add_session(self, session: RxSession):
         self.sessions.append(session)
+        if session.mode == "fast":
+            for g in self.groups:
+                if g.fsk_config == session.fsk_config and g.has_space():
+                    g.attach(session)
+                    return
+            group = BatchedRxGroup(session.fsk_config, session.config.buffer_size)
+            group.attach(session)
+            self.groups.append(group)
 
     async def _run(self):
         try:
@@ -204,7 +356,15 @@ class SdrStream:
                 if buf is None:
                     break
                 for session in list(self.sessions):
-                    await session.put(buf)
+                    if session.mode == "fast":
+                        if session.rx_dump is not None:
+                            session.rx_dump.write(
+                                np.asarray(buf, np.complex64).tobytes()
+                            )
+                    else:
+                        await session.put(buf)
+                for group in list(self.groups):
+                    await group.feed(buf)
         except asyncio.CancelledError:
             pass
         except Exception:
@@ -212,12 +372,18 @@ class SdrStream:
         finally:
             # stream ended: poison-pill every attached session (:49-53)
             for session in list(self.sessions):
-                await session.queue.interrupt()
+                if session.mode != "fast":
+                    await session.queue.interrupt()
 
     async def remove_session(self, session: RxSession) -> bool:
         """Detach; returns True when the stream itself was torn down."""
         if session in self.sessions:
             self.sessions.remove(session)
+        if session.group is not None:
+            group = session.group
+            group.detach(session)
+            if not group.lanes and group in self.groups:
+                self.groups.remove(group)
         if not self.sessions:
             # stop the reader task before the graceful-shutdown drain so the
             # two never contend for the same stream reader

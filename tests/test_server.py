@@ -362,3 +362,52 @@ def test_rx_invalid_fsk_params_internal_error(tmp_path):
         await server.stop()
 
     run(body())
+
+
+def test_rx_stream_demod_fast_mode(tmp_path, resources_dir):
+    """demod_mode = fast: clients on one SDR stream are lanes of a single
+    batched full-block Pallas step.  Two clients receive the same symbol
+    stream; output matches the golden within the reference's +-2 policy."""
+    iq = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)[:24576]
+    golden = np.fromfile(resources_dir / "lucky7.expected.s8", dtype=np.int8)
+
+    async def body():
+        mock = MockSdrServer()
+        ss_port = await mock.start()
+        config = make_config(
+            tmp_path,
+            rx_sdr_type=RxSdrType.SDR_SERVER,
+            rx_sdr_server_port=ss_port,
+            demod_mode="fast",
+        )
+        server = SdrModemServer(config)
+        await server.start()
+
+        c1 = await ModemClient.connect("127.0.0.1", server.port)
+        resp1 = await c1.rx_request(rx_request())
+        assert resp1.status == wire.ResponseStatus.SUCCESS
+        c2 = await ModemClient.connect("127.0.0.1", server.port)
+        resp2 = await c2.rx_request(rx_request())
+        assert resp2.status == wire.ResponseStatus.SUCCESS
+        await mock.wait_client()
+        assert len(mock.requests) == 1  # shared sdr connection
+
+        await mock.send_iq(iq)
+        # 24576 samples = 6 full 4096-sample blocks -> ~2400 symbols
+        expected = 2300
+        # first step includes the jit compile of the interpret-mode batched
+        # program — allow well past the helper's default 10 s
+        d1 = np.frombuffer(await c1.read_stream(expected, timeout=90), dtype=np.int8)
+        d2 = np.frombuffer(await c2.read_stream(expected, timeout=90), dtype=np.int8)
+        np.testing.assert_array_equal(d1, d2)
+        diff = np.abs(d1.astype(np.int32) - golden[: len(d1)].astype(np.int32))
+        assert diff.max() <= 2
+
+        await c1.shutdown()
+        await c2.shutdown()
+        c1.close()
+        c2.close()
+        await mock.stop()
+        await server.stop()
+
+    run(body())
