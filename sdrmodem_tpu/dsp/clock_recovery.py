@@ -284,8 +284,61 @@ def clock_mm_batched_full(
     per-channel dynamic starts and no transposes anywhere on the data
     path; only the scalar read pointer ``SUFFIX - resid`` is dynamic, and
     the kernel/scan already consumes that as part of its carried state.
-    Returns (outs (C, K), counts (C,), new_state).
+
+    Long blocks are processed in ~CHUNK-sample sub-chunks (static
+    boundaries, state threaded through): the suffix hand-off re-syncs
+    every lane's read pointer to within ~2 strides at each boundary, so
+    the kernel's one-hot window stays small even when independent
+    channels' symbol clocks drift apart — per-symbol cost is bounded by
+    per-CHUNK drift, not per-block.
+
+    Returns (outs (C, n_chunks, K_c), counts (C, n_chunks), new_state).
     """
+    n, c = x_tm.shape
+    n_chunks = n // CHUNK if (n % CHUNK == 0 and n > CHUNK) else 1
+    cs = n // n_chunks
+
+    outs_all, counts_all = [], []
+    for t in range(n_chunks):
+        o, cnt, state = _clock_full_one(
+            x_tm[t * cs : (t + 1) * cs],
+            state,
+            omega=omega,
+            gain_omega=gain_omega,
+            mu=mu,
+            gain_mu=gain_mu,
+            omega_relative_limit=omega_relative_limit,
+            num_symbols=num_symbols,
+            backend=backend,
+            interpret=interpret,
+        )
+        outs_all.append(o)
+        counts_all.append(cnt)
+    return (
+        jnp.stack(outs_all, axis=1),
+        jnp.stack(counts_all, axis=1),
+        state,
+    )
+
+
+# sub-chunk size (input samples per kernel call): bounds the worst-case
+# lane spread the clock kernel's window must cover
+CHUNK = 4096
+
+
+def _clock_full_one(
+    x_tm: jnp.ndarray,  # (cs, C)
+    state: ClockFullState,
+    *,
+    omega,
+    gain_omega,
+    mu,
+    gain_mu,
+    omega_relative_limit,
+    num_symbols,
+    backend,
+    interpret,
+):
     n, c = x_tm.shape
     omega_mid = np.float32(omega)
     omega_lim = np.float32(omega_mid * np.float32(omega_relative_limit))

@@ -185,3 +185,19 @@ def freq_mod_stream(
     next_phase = jnp.mod(phase[..., -1], 2 * np.pi)
     ph32 = jnp.mod(phase, 2 * np.pi).astype(jnp.float32)
     return jax.lax.complex(jnp.cos(ph32), jnp.sin(ph32)), next_phase
+
+
+def freq_mod_stream_pair(
+    x: jnp.ndarray,
+    sensitivity: float,
+    phase0=0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``freq_mod_stream`` without a complex dtype: returns (I, Q, next
+    phase) float32 arrays.  The production TPU backend (axon) does not
+    lower complex types at all, so the TX hot path carries IQ as pairs
+    just like the RX pipeline (dsp/pipeline.py) and combines on the host."""
+    inc = (jnp.float32(sensitivity) * x.astype(jnp.float32)).astype(jnp.float64)
+    phase = jnp.asarray(phase0, jnp.float64) + jnp.cumsum(inc, axis=-1)
+    next_phase = jnp.mod(phase[..., -1], 2 * np.pi)
+    ph32 = jnp.mod(phase, 2 * np.pi).astype(jnp.float32)
+    return jnp.cos(ph32), jnp.sin(ph32), next_phase

@@ -66,6 +66,15 @@ class GfskModulator:
         filtered = interp_fir_stream(nrz, self.taps, self.interpolation)
         return freq_mod_stream(filtered, self.config.sensitivity, phase0)
 
+    def process_pair(self, data: jnp.ndarray, phase0=0.0):
+        """Complex-free variant for the TPU backend: uint8 (..., N) →
+        (I, Q float32 (..., N*8*int(sps)), next_phase)."""
+        from sdrmodem_tpu.dsp.elementwise import freq_mod_stream_pair
+
+        nrz = bytes_to_nrz(data)
+        filtered = interp_fir_stream(nrz, self.taps, self.interpolation)
+        return freq_mod_stream_pair(filtered, self.config.sensitivity, phase0)
+
     @cached_property
     def jit_process(self):
         return jax.jit(lambda data: self.process(data)[0])

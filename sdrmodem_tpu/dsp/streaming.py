@@ -41,9 +41,12 @@ class StreamingGfskMod:
         # drop the outputs that belong to the carried history positions
         out = full[len(self.hist) * self.mod.interpolation :]
         self.hist = work[-(self.k - 1) :] if self.k > 1 else work[:0]
-        from sdrmodem_tpu.dsp.elementwise import freq_mod_stream
+        from sdrmodem_tpu.dsp.elementwise import freq_mod_stream_pair
 
-        iq, self.phase = freq_mod_stream(
+        # pair path: the production TPU backend has no complex dtype, so
+        # the VCO emits (I, Q) float32 and the host combines
+        i, q, self.phase = freq_mod_stream_pair(
             jnp.asarray(out), self.mod.config.sensitivity, self.phase
         )
-        return np.asarray(iq)
+        self.phase = float(self.phase)
+        return (np.asarray(i) + 1j * np.asarray(q)).astype(np.complex64)

@@ -167,8 +167,15 @@ def _mm_kernel(
             nan_win = jnp.maximum(nan_win, shifted)
         return clean, nan_win
 
-    rows_sub = jax.lax.broadcasted_iota(jnp.int32, (SUB, c), 0)
-    rows_tile = jax.lax.broadcasted_iota(jnp.int32, (tile, c), 0)
+    # window-size ladder: per-symbol cost is proportional to the window
+    # rows, so pick the smallest static size covering the current lane
+    # spread.  SUB covers lanes within ~56 rows (clustered lanes — shared
+    # streams / fan-out), MID absorbs moderate divergence (independent
+    # signals whose omegas random-walk apart), tile is the provable bound.
+    sizes = [s for s in (SUB, 4 * SUB) if s < tile] + [tile]
+    rows_by_size = {
+        s: jax.lax.broadcasted_iota(jnp.int32, (s, c), 0) for s in sizes
+    }
 
     def group(o, _):
         ii = carry_ref[3, :]
@@ -184,20 +191,20 @@ def _mm_kernel(
             jnp.float32(lp - tile),
         )
         span = amax - off + jnp.float32(span_budget)
-        fast = span <= jnp.float32(SUB)
         k0 = o * UNROLL
 
-        @pl.when(any_active & fast)
-        def _():
-            data = y_ref[pl.ds(off.astype(jnp.int32), SUB), :]
-            clean, nan_win = nan_precompute(data, SUB)
-            run_group(k0, clean, nan_win, off, SUB, rows_sub)
+        for idx, s in enumerate(sizes):
+            fits = span <= jnp.float32(s)
+            too_small = (
+                span > jnp.float32(sizes[idx - 1]) if idx > 0 else True
+            )
+            cond = any_active & too_small & (fits if s != tile else True)
 
-        @pl.when(any_active & ~fast)
-        def _():
-            data = y_ref[pl.ds(off.astype(jnp.int32), tile), :]
-            clean, nan_win = nan_precompute(data, tile)
-            run_group(k0, clean, nan_win, off, tile, rows_tile)
+            @pl.when(cond)
+            def _(s=s):
+                data = y_ref[pl.ds(off.astype(jnp.int32), s), :]
+                clean, nan_win = nan_precompute(data, s)
+                run_group(k0, clean, nan_win, off, s, rows_by_size[s])
 
         # a lane past the big window would read garbage — flag it
         overflow = (span > jnp.float32(tile)).astype(jnp.float32)

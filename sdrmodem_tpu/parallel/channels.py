@@ -133,7 +133,7 @@ class ShardedChannelDemodFull:
                 local_step,
                 mesh=mesh,
                 in_specs=(state_spec, P(axis, None, None)),
-                out_specs=(state_spec, P(axis, None), P(axis)),
+                out_specs=(state_spec, P(axis, None, None), P(axis, None)),
                 check_vma=False,
             )
         )

@@ -26,7 +26,12 @@ def _collect(step_full, pipe, x_blocks):
     for xb in x_blocks:
         state, symbols, counts = step_full(state, jnp.asarray(xb))
         symbols, counts = np.asarray(symbols), np.asarray(counts)
-        outs.append([symbols[i, : counts[i]] for i in range(symbols.shape[0])])
+        outs.append([
+            np.concatenate(
+                [symbols[i, t, : counts[i, t]] for t in range(counts.shape[1])]
+            )
+            for i in range(symbols.shape[0])
+        ])
     return [np.concatenate([o[i] for o in outs]) for i in range(x_blocks[0].shape[0])]
 
 

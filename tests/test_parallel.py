@@ -89,24 +89,25 @@ def test_channel_sharded_full_path(resources_dir):
     sharded = ShardedChannelDemodFull(
         CFG, 8192, channels, mesh, clock_backend="scan"
     )
+    def collect(symbols, counts, lane):
+        return np.concatenate(
+            [symbols[lane, t, : counts[lane, t]] for t in range(counts.shape[1])]
+        )
+
     state = sharded.init_state()
     batch = np.tile(iq, (channels, 1))
     state, symbols, counts = sharded.step(state, sharded.place_input(batch))
     counts = np.asarray(counts)
     symbols = np.asarray(symbols)
-    assert (counts == counts[0]).all() and counts[0] > 0
-    for c in range(channels):
-        np.testing.assert_array_equal(
-            symbols[c, : counts[0]], symbols[0, : counts[0]]
-        )
+    assert (counts == counts[0:1]).all() and counts.sum() > 0
+    lane0 = collect(symbols, counts, 0)
+    for c in range(1, channels):
+        np.testing.assert_array_equal(collect(symbols, counts, c), lane0)
 
     pipe = DemodPipeline(CFG, 8192, exact=False)
     step = pipe.make_batched_step_full("scan")
     st = pipe.init_full_state(1)
     x = np.stack([iq.real, iq.imag])[None].astype(np.float32)
     st, ref_sym, ref_cnt = step(st, jnp.asarray(x))
-    ref_cnt = int(np.asarray(ref_cnt)[0])
-    assert ref_cnt == counts[0]
-    np.testing.assert_array_equal(
-        symbols[0, : counts[0]], np.asarray(ref_sym)[0, :ref_cnt]
-    )
+    ref = collect(np.asarray(ref_sym), np.asarray(ref_cnt), 0)
+    np.testing.assert_array_equal(lane0, ref)

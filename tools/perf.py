@@ -28,21 +28,39 @@ def main():
     rng = np.random.default_rng(0)
 
     # --- gfsk_mod (reference: 0.054 s generic / 0.044 s tuned on M1)
+    # pair path (I/Q float32): the TPU backend has no complex dtype
     mod = GfskModulator(GfskModConfig.from_radio(19200, 9600, 5000))
     data = jnp.asarray(rng.integers(0, 255, 2048).astype(np.uint8))
-    step = jax.jit(lambda d: mod.process(d)[0])
-    np.asarray(step(data))  # compile
+    step = jax.jit(lambda d: mod.process_pair(d)[:2])
+    i, q = step(data)  # compile
+    float(jnp.sum(i))
     t0 = time.perf_counter()
     for _ in range(100):
         out = step(data)
-    np.asarray(out)
+    float(jnp.sum(out[0]))
     mod_dt = time.perf_counter() - t0
     out_samples = 100 * 2048 * 8 * 2
     print(f"gfsk_mod : 100 x 2048 bytes in {mod_dt:.6f} s "
-          f"({out_samples/mod_dt/1e6:.1f} Msamples/s produced)")
+          f"({out_samples/mod_dt/1e6:.1f} Msamples/s produced) "
+          f"[reference M1: 0.044 s = 74 Msamples/s]")
+
+    # --- gfsk_mod, production shape: 128 channels batched per dispatch
+    channels = 128
+    datab = jnp.asarray(rng.integers(0, 255, (channels, 2048)).astype(np.uint8))
+    stepb = jax.jit(lambda d: mod.process_pair(d)[:2])
+    ib, qb = stepb(datab)
+    float(jnp.sum(ib))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        outb = stepb(datab)
+    float(jnp.sum(outb[0]))
+    modb_dt = time.perf_counter() - t0
+    outb_samples = 20 * channels * 2048 * 8 * 2
+    print(f"gfsk_mod : 20 x {channels}ch x 2048 bytes in {modb_dt:.6f} s "
+          f"({outb_samples/modb_dt/1e6:.1f} Msamples/s produced, batched)")
 
     # --- fsk_demod
-    pipe = DemodPipeline(FskDemodConfig(48000, 4800, 5000, 2, 2000, True), 4096, exact=False)
+    pipe = DemodPipeline(FskDemodConfig(48000, 4800, 5000, 2, 2000, True), 4096, exact=False, use_atan_lut=False)
     iq = rng.standard_normal((2, 4096)).astype(np.float32)
     x = jnp.asarray(iq)
     n = jnp.int32(4096)
@@ -56,8 +74,32 @@ def main():
     int(cnt)
     demod_dt = time.perf_counter() - t0
     print(f"fsk_demod: 100 x 4096 samples in {demod_dt:.6f} s "
-          f"({100*4096/demod_dt/1e6:.1f} Msamples/s) "
+          f"({100*4096/demod_dt/1e6:.1f} Msamples/s, single lane = "
+          f"per-dispatch latency bound) "
           f"[reference M1: 0.037 s = 11.0 Msamples/s]")
+
+    # --- fsk_demod, production shape (the bench.py headline): 128 channels
+    # x 64k samples through the full-block time-major Pallas path
+    channels, block, iters = 128, 65536, 6
+    pipef = DemodPipeline(
+        FskDemodConfig(48000, 4800, 5000, 2, 2000, True), block, exact=False,
+        use_atan_lut=False,  # LUT lerp = gather, ~25x the step cost on TPU
+    )
+    stepf = pipef.make_batched_step_full(
+        "pallas" if jax.devices()[0].platform != "cpu" else "scan"
+    )
+    statef = pipef.init_full_state(channels)
+    xf = jnp.asarray(rng.standard_normal((channels, 2, block)).astype(np.float32))
+    statef, sym, cnt = stepf(statef, xf)
+    int(np.asarray(cnt).sum())
+    t0 = time.perf_counter()
+    s = statef
+    for _ in range(iters):
+        s, sym, cnt = stepf(s, xf)
+    int(np.asarray(cnt).sum())
+    fast_dt = time.perf_counter() - t0
+    print(f"fsk_demod: {iters} x {channels}ch x {block} samples in {fast_dt:.6f} s "
+          f"({iters*channels*block/fast_dt/1e6:.1f} Msamples/s, batched full path)")
 
 
 if __name__ == "__main__":
