@@ -28,8 +28,9 @@ def run_point(snr_db: float, offset_hz: float, n_bytes: int, seed: int):
     payload = rng.integers(0, 256, n_bytes).astype(np.uint8)
 
     mod = GfskModulator(GfskModConfig.from_radio(fs, baud, dev))
-    iq, _ = mod.process(jnp.asarray(payload))
-    iq = np.asarray(iq)
+    # pair path: complex dtypes do not lower on the axon TPU backend
+    i, q, _ = mod.process_pair(jnp.asarray(payload))
+    iq = (np.asarray(i) + 1j * np.asarray(q)).astype(np.complex64)
 
     # AWGN at the requested Es/N0 (signal power is 1.0 by construction)
     noise_power = 10 ** (-snr_db / 10.0)
