@@ -36,8 +36,11 @@ def main() -> None:
     baseline_msps = 11.0  # reference/test/perf_fsk_modem.c:100-104 (M1 single core)
 
     channels = int(os.environ.get("SDRM_BENCH_CHANNELS", "128"))
-    block = int(os.environ.get("SDRM_BENCH_BLOCK", str(4096 * 16)))
-    iters = int(os.environ.get("SDRM_BENCH_ITERS", "8"))
+    # throughput mode: 1M samples/channel/step amortizes the per-dispatch
+    # tunnel latency to <2% (device step is ~2.2 Gsamples/s); the clock
+    # kernel chunks internally so VMEM stays bounded at any block size
+    block = int(os.environ.get("SDRM_BENCH_BLOCK", str(1 << 20)))
+    iters = int(os.environ.get("SDRM_BENCH_ITERS", "6"))
     clock_backend = os.environ.get("SDRM_BENCH_CLOCK", "pallas")
     if jax.devices()[0].platform == "cpu":
         clock_backend = "scan"  # Mosaic kernels need a TPU
