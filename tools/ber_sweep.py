@@ -73,10 +73,10 @@ def main(argv=None):
 
     import jax
 
-    try:
-        jax.devices()
-    except RuntimeError:
-        jax.config.update("jax_platforms", "cpu")
+    # the demod side of the sweep consumes complex64 IQ, which the TPU
+    # backend does not lower — this validation tool always runs on CPU
+    # (must be set before the first jax.devices() initializes a backend)
+    jax.config.update("jax_platforms", "cpu")
 
     points = []
     for snr in [float(s) for s in args.snrs.split(",")]:
