@@ -152,3 +152,78 @@ def test_full_state_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(r1))
     np.testing.assert_array_equal(np.asarray(c2), np.asarray(rc2))
     np.testing.assert_array_equal(np.asarray(s2), np.asarray(r2))
+
+
+def _gmsk_like(baud_sps, n, seed):
+    """Crude GMSK-ish soft stream source: random bits at ~baud_sps samples
+    per symbol, pulse-shaped — enough structure for the M&M loop to track."""
+    rng = np.random.default_rng(seed)
+    nbits = int(n / baud_sps) + 16
+    bits = rng.integers(0, 2, nbits) * 2.0 - 1.0
+    t = np.arange(n)
+    idx = np.floor(t / baud_sps).astype(int)
+    nrz = bits[idx]
+    k = np.hanning(9) / 4.5
+    return np.convolve(nrz, k, mode="same").astype(np.float32)
+
+
+def test_full_path_chunked_blocks_match_ragged():
+    """Blocks large enough that the clock runs multiple internal sub-chunks
+    (n2 > CHUNK): the chunk hand-off must reproduce the ragged stream."""
+    from sdrmodem_tpu.dsp.clock_recovery import CHUNK
+
+    cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
+    channels, block, nblocks = 2, 4 * CHUNK * 2, 2  # n2 = 4*CHUNK per block
+    pipe = DemodPipeline(cfg, block, exact=False, use_atan_lut=False)
+    iq = (
+        RNG.standard_normal((channels, nblocks * block))
+        + 1j * RNG.standard_normal((channels, nblocks * block))
+    ).astype(np.complex64)
+    x = np.stack([iq.real, iq.imag], axis=1).astype(np.float32)
+    blocks = [x[:, :, i * block : (i + 1) * block] for i in range(nblocks)]
+    full = _collect(pipe.make_batched_step_full("scan"), pipe, blocks)
+    ragged = _collect_ragged(pipe, blocks, channels)
+    for f, r in zip(full, ragged):
+        assert f.shape == r.shape
+        _assert_close_int8(f, r)
+
+
+def test_full_path_divergent_symbol_clocks():
+    """Channels whose true symbol rates differ by the full +-1% omega
+    range: lane read pointers drift apart, exercising the clock kernel's
+    window ladder and the per-chunk re-sync.  Pallas (interpret) must
+    track the scan backend per lane."""
+    from sdrmodem_tpu.dsp.clock_recovery import CHUNK
+
+    cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, False)
+    channels, block = 2, 2 * CHUNK * 2  # n2 = 2*CHUNK -> 2 sub-chunks
+    pipe = DemodPipeline(cfg, block, exact=False, use_atan_lut=False)
+
+    # feed the DECIMATED-rate soft streams through IQ that produces them:
+    # instead, drive the whole chain with per-channel resampled captures.
+    # simpler: different true baud -> different effective sps at the clock
+    iq0 = np.fromfile(
+        "/root/reference/test/resources/lucky7.expected.cf32", np.complex64
+    )
+    n = 2 * block
+    a = iq0[:n]
+    # channel 1: resample by ~1.02 (different symbol rate within clip range)
+    src = np.arange(n) * 1.02
+    i0 = np.floor(src).astype(int)
+    frac = (src - i0).astype(np.float32)
+    b = (iq0[i0] * (1 - frac) + iq0[i0 + 1] * frac).astype(np.complex64)
+    iq = np.stack([a, b])
+    x = np.stack([iq.real, iq.imag], axis=1).astype(np.float32)
+    blocks = [x[:, :, :block], x[:, :, block:]]
+
+    scan = _collect(pipe.make_batched_step_full("scan"), pipe, blocks)
+    pall = _collect(
+        pipe.make_batched_step_full("pallas", interpret=True), pipe, blocks
+    )
+    for s, p in zip(scan, pall):
+        n_cmp = min(len(s), len(p), 400)
+        assert n_cmp > 100
+        agree = np.mean(
+            np.abs(s[:n_cmp].astype(np.int32) - p[:n_cmp].astype(np.int32)) <= 2
+        )
+        assert agree > 0.9
