@@ -137,3 +137,84 @@ def demod_time_sharded(
         symbols.append(np.asarray(outs)[: int(count)])
     soft = np.concatenate(symbols)
     return np.asarray(float_to_int8(jnp.asarray(soft))), len(soft)
+
+
+def demod_grid_sharded(
+    iq: np.ndarray,  # (C, N) complex64
+    config: FskDemodConfig,
+    mesh: Mesh,
+    channel_axis: str = "channel",
+    time_axis: str = "time",
+):
+    """2-D sharding: channels over one mesh axis, each stream's TIME over
+    the other — BASELINE.json's largest configuration (1024 channels x
+    long blocks across hosts).  The filter front-end runs fully parallel
+    on the (channel, time) grid with ppermute halo exchange along the
+    time axis only; the sequential M&M hand-off walks the time blocks
+    with all channels advancing together.
+
+    Returns (list of per-channel int8 symbol arrays).
+    """
+    c, n = iq.shape
+    n_t = mesh.shape[time_axis]
+    d = config.decimation
+    block = -(-n // n_t)
+    block = -(-block // d) * d
+    padded = np.zeros((c, block * n_t), np.complex64)
+    padded[:, :n] = np.asarray(iq, np.complex64)
+    x = np.stack([padded.real, padded.imag], axis=1)  # (C, 2, N')
+    x = x.reshape(c, 2, n_t, block)
+    x = jax.device_put(
+        jnp.asarray(x), NamedSharding(mesh, P(channel_axis, None, time_axis, None))
+    )
+
+    taps1 = config.lpf1_taps()
+    taps2 = config.lpf2_taps()
+    tapsdc = dc_blocker_taps(config.dc_length) if config.use_dc_block else None
+
+    def local_front(blk):  # (Cl, 2, 1, Nb)
+        per_ch = jax.vmap(
+            lambda p: _front_end_block(p, config, taps1, taps2, tapsdc, time_axis)
+        )
+        return per_ch(blk[:, :, 0, :])[:, None, :]  # (Cl, 1, Nb/d)
+
+    front = jax.jit(
+        jax.shard_map(
+            local_front,
+            mesh=mesh,
+            in_specs=P(channel_axis, None, time_axis, None),
+            out_specs=P(channel_axis, time_axis, None),
+            check_vma=False,
+        )
+    )
+    soft = front(x)  # (C, n_t, block/d)
+
+    # sequential clock hand-off over time blocks, all channels batched
+    p = config.clock_params()
+    clock = jax.jit(
+        jax.vmap(
+            lambda dta, st, nv: clock_mm_stream(
+                dta, state=st, n_valid=nv,
+                omega=p["omega"], gain_omega=p["gain_omega"], mu=p["mu"],
+                gain_mu=p["gain_mu"],
+                omega_relative_limit=p["omega_relative_limit"],
+            )
+        )
+    )
+    state = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (c,) + a.shape),
+        initial_state(p["omega"], p["mu"]),
+    )
+    valid_in = n // d
+    outs_per_channel = [[] for _ in range(c)]
+    for b in range(n_t):
+        remaining = valid_in - b * (block // d)
+        n_valid = jnp.full((c,), int(np.clip(remaining, 0, block // d)), jnp.int32)
+        outs, counts, state = clock(soft[:, b], state, n_valid)
+        outs, counts = np.asarray(outs), np.asarray(counts)
+        for ch in range(c):
+            outs_per_channel[ch].append(outs[ch, : counts[ch]])
+    return [
+        np.asarray(float_to_int8(jnp.asarray(np.concatenate(o))))
+        for o in outs_per_channel
+    ]

@@ -111,3 +111,24 @@ def test_channel_sharded_full_path(resources_dir):
     st, ref_sym, ref_cnt = step(st, jnp.asarray(x))
     ref = collect(np.asarray(ref_sym), np.asarray(ref_cnt), 0)
     np.testing.assert_array_equal(lane0, ref)
+
+
+def test_grid_sharded_channels_by_time(resources_dir):
+    """2-D mesh: 2 channel shards x 4 time shards; every channel's output
+    matches the unsharded whole-stream demodulator."""
+    from sdrmodem_tpu.parallel.time_shard import demod_grid_sharded
+
+    iq = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)[:32768]
+    channels = 4
+    batch = np.tile(iq, (channels, 1))
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("channel", "time"))
+
+    outs = demod_grid_sharded(batch, CFG, mesh)
+
+    ref_out, ref_count, _ = FskDemodulator(CFG, exact=False).process(jnp.asarray(iq))
+    ref = np.asarray(ref_out)[: int(ref_count)]
+    for ch in range(channels):
+        assert len(outs[ch]) == len(ref)
+        diff = np.abs(outs[ch].astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 2 and (diff > 0).mean() < 0.01
