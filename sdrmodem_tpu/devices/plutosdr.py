@@ -7,9 +7,11 @@ Behavioural equivalent of reference src/sdr/plutosdr.c:16-633:
   RX-only mode powers down the TX LO for sensitivity (:251-258).
 - FIR decimation programming for low sample rates: rates below
   25 MHz/12 (+1) need the AD936x FIR block at DEC/INT 2 or 4 with a
-  128-tap filter (:16-30, :310-407).  The coefficient set here is a
-  windowed-sinc half/quarter-band design functionally equivalent to the
-  ADI reference coefficients (hardware config data, regenerated).
+  128-tap filter (:16-30, :310-407).  The coefficient tables are the
+  ADI hardware-configuration constants verbatim (fir_128_4 / fir_128_2,
+  src/sdr/plutosdr.c:19-30) — device register data, not code: a Pluto
+  configured by this server gets the exact same analog-chain response
+  as one configured by the reference.
 - RX: buffer refill -> int16 -> float32 / 2048 (12-bit ADC, :99-133);
   TX: float32 * 32768 -> int16 push (:63-97).
 
@@ -37,17 +39,37 @@ class PlutoSdrError(RuntimeError):
     pass
 
 
-def _fir_taps(factor: int) -> np.ndarray:
-    """128-tap int16 low-pass for the AD936x FIR block at DEC/INT ``factor``.
+# ADI AD936x FIR coefficient tables (hardware register constants;
+# reference src/sdr/plutosdr.c:19-24 fir_128_4 and :26-30 fir_128_2).
+FIR_128_4 = np.array([
+    -15, -27, -23, -6, 17, 33, 31, 9, -23, -47, -45, -13, 34, 69, 67, 21,
+    -49, -102, -99, -32, 69, 146, 143, 48, -96, -204, -200, -69, 129, 278,
+    275, 97, -170, -372, -371, -135, 222, 494, 497, 187, -288, -654, -665,
+    -258, 376, 875, 902, 363, -500, -1201, -1265, -530, 699, 1748, 1906,
+    845, -1089, -2922, -3424, -1697, 2326, 7714, 12821, 15921, 15921,
+    12821, 7714, 2326, -1697, -3424, -2922, -1089, 845, 1906, 1748, 699,
+    -530, -1265, -1201, -500, 363, 902, 875, 376, -258, -665, -654, -288,
+    187, 497, 494, 222, -135, -371, -372, -170, 97, 275, 278, 129, -69,
+    -200, -204, -96, 48, 143, 146, 69, -32, -99, -102, -49, 21, 67, 69,
+    34, -13, -45, -47, -23, 9, 31, 33, 17, -6, -23, -27, -15,
+], dtype=np.int16)
 
-    Windowed-sinc design with cutoff 1/(2*factor), peak-normalised to
-    int16 — functionally equivalent to the ADI reference tables."""
-    n = np.arange(128, dtype=np.float64)
-    center = 63.5
-    # cutoff at 1/(2*factor) of the sample rate, Blackman window
-    taps = np.sinc((n - center) / factor) * np.blackman(128)
-    taps = taps / taps.max() * 32767.0
-    return np.round(taps).astype(np.int16)
+FIR_128_2 = np.array([
+    0, 0, 1, 0, -2, 0, 3, 0, -5, 0, 8, 0, -11, 0, 17, 0, -24, 0, 33, 0,
+    -45, 0, 61, 0, -80, 0, 104, 0, -134, 0, 169, 0, -213, 0, 264, 0,
+    -327, 0, 401, 0, -489, 0, 595, 0, -724, 0, 880, 0, -1075, 0, 1323, 0,
+    -1652, 0, 2114, 0, -2819, 0, 4056, 0, -6883, 0, 20837, 32767, 20837,
+    0, -6883, 0, 4056, 0, -2819, 0, 2114, 0, -1652, 0, 1323, 0, -1075, 0,
+    880, 0, -724, 0, 595, 0, -489, 0, 401, 0, -327, 0, 264, 0, -213, 0,
+    169, 0, -134, 0, 104, 0, -80, 0, 61, 0, -45, 0, 33, 0, -24, 0, 17, 0,
+    -11, 0, 8, 0, -5, 0, 3, 0, -2, 0, 1, 0, 0, 0,
+], dtype=np.int16)
+
+
+def _fir_taps(factor: int) -> np.ndarray:
+    """128-tap int16 table for the AD936x FIR block at DEC/INT ``factor``
+    — the ADI hardware constants, not a regenerated design."""
+    return FIR_128_4 if factor == 4 else FIR_128_2
 
 
 def select_fir_config(sampling_freq: int | None) -> tuple[int, np.ndarray | None]:

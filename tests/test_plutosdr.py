@@ -8,6 +8,8 @@ import pytest
 
 from sdrmodem_tpu.devices.iio_lib import IioError, IioLib
 from sdrmodem_tpu.devices.plutosdr import (
+    FIR_128_2,
+    FIR_128_4,
     MIN_FIR_FILTER,
     PlutoSdr,
     PlutoSdrError,
@@ -110,6 +112,23 @@ def test_build_fir_config_format():
     coeff_rows = [ln for ln in lines[2:] if ln]
     assert len(coeff_rows) == 128  # 128 "tx,rx" coefficient rows
     assert all("," in ln for ln in coeff_rows)
+
+
+def test_fir_blob_matches_adi_hardware_tables():
+    """The rendered filter_fir_config carries the ADI coefficient tables
+    verbatim (reference src/sdr/plutosdr.c:19-30): a Pluto programmed by
+    this server gets the same analog-chain response as the reference."""
+    for rate, table in ((528000, FIR_128_4), (1200000, FIR_128_2)):
+        blob = build_fir_config(select_fir_config(rate), (0, None)).decode()
+        rows = [ln for ln in blob.splitlines()[2:] if ln]
+        tx = np.array([int(r.split(",")[0]) for r in rows], np.int16)
+        rx = np.array([int(r.split(",")[1]) for r in rows], np.int16)
+        np.testing.assert_array_equal(rx, table)
+        np.testing.assert_array_equal(tx, table)  # tx side mirrors rx when absent
+    # structural invariants of the hardware tables themselves
+    assert FIR_128_2[63] == 32767 and FIR_128_4[63] == FIR_128_4[64] == 15921
+    np.testing.assert_array_equal(FIR_128_2[1:63:2], np.zeros(31))  # half-band zeros
+    np.testing.assert_array_equal(FIR_128_4, FIR_128_4[::-1])  # linear phase
 
 
 def test_rx_configuration_and_conversion():
