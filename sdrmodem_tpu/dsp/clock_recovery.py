@@ -73,6 +73,9 @@ class ClockFullState(NamedTuple):
     last_sample: jnp.ndarray  # (C,) f32
     suffix: jnp.ndarray  # (SUFFIX, C) f32 — last SUFFIX input samples
     resid: jnp.ndarray  # (C,) i32 — unconsumed count (< SUFFIX)
+    overflow: jnp.ndarray  # (C,) f32 — count of chunks that tripped the
+    # kernel's window-overflow guard and were re-run on the full-buffer
+    # window (observability counter; output stays correct either way)
 
 
 def initial_full_state(omega: float, channels: int, mu: float = 0.5) -> ClockFullState:
@@ -82,6 +85,7 @@ def initial_full_state(omega: float, channels: int, mu: float = 0.5) -> ClockFul
         last_sample=jnp.zeros((channels,), jnp.float32),
         suffix=jnp.zeros((SUFFIX, channels), jnp.float32),
         resid=jnp.zeros((channels,), jnp.int32),
+        overflow=jnp.zeros((channels,), jnp.float32),
     )
 
 
@@ -276,6 +280,7 @@ def clock_mm_batched_full(
     num_symbols: int | None = None,
     backend: str = "pallas",
     interpret: bool = False,
+    tile: int | None = None,
 ):
     """Batched M&M for the full-block fast path (suffix-carry state).
 
@@ -285,23 +290,37 @@ def clock_mm_batched_full(
     path; only the scalar read pointer ``SUFFIX - resid`` is dynamic, and
     the kernel/scan already consumes that as part of its carried state.
 
-    Long blocks are processed in ~CHUNK-sample sub-chunks (static
-    boundaries, state threaded through): the suffix hand-off re-syncs
-    every lane's read pointer to within ~2 strides at each boundary, so
-    the kernel's one-hot window stays small even when independent
-    channels' symbol clocks drift apart — per-symbol cost is bounded by
-    per-CHUNK drift, not per-block.
+    Blocks are ALWAYS processed in <=CHUNK-sample sub-chunks (static
+    boundaries, state threaded through; the final chunk may be shorter):
+    the suffix hand-off re-syncs every lane's read pointer to within ~2
+    strides at each boundary, so the kernel's one-hot window stays small
+    even when independent channels' symbol clocks drift apart — and the
+    kernel's VMEM footprint is bounded by CHUNK, not the block size.
+
+    If a chunk trips the kernel's window-overflow guard (lane positions
+    spread past the drift bound of ``required_tile`` — out-of-contract
+    inputs), the chunk is transparently re-run on the full-buffer window
+    (``full_tile``), which is provably sufficient, and
+    ``state.overflow`` is incremented: the guard heals instead of
+    emitting garbage.  ``tile`` overrides the main window size (test
+    hook for forcing the fallback).
 
     Returns (outs (C, n_chunks, K_c), counts (C, n_chunks), new_state).
     """
     n, c = x_tm.shape
-    n_chunks = n // CHUNK if (n % CHUNK == 0 and n > CHUNK) else 1
-    cs = n // n_chunks
+    n_chunks = max(1, -(-n // CHUNK))
+    bounds = [(t * CHUNK, min((t + 1) * CHUNK, n)) for t in range(n_chunks)]
+    if num_symbols is None:
+        # one K for every chunk (so outputs stack), sized by the largest
+        cs_max = max(e - s for s, e in bounds)
+        num_symbols = max_symbols(
+            cs_max + SUFFIX, float(np.float32(omega)), omega_relative_limit, gain_mu
+        )
 
     outs_all, counts_all = [], []
-    for t in range(n_chunks):
+    for s, e in bounds:
         o, cnt, state = _clock_full_one(
-            x_tm[t * cs : (t + 1) * cs],
+            x_tm[s:e],
             state,
             omega=omega,
             gain_omega=gain_omega,
@@ -311,6 +330,7 @@ def clock_mm_batched_full(
             num_symbols=num_symbols,
             backend=backend,
             interpret=interpret,
+            tile=tile,
         )
         outs_all.append(o)
         counts_all.append(cnt)
@@ -338,6 +358,7 @@ def _clock_full_one(
     num_symbols,
     backend,
     interpret,
+    tile=None,
 ):
     n, c = x_tm.shape
     omega_mid = np.float32(omega)
@@ -352,26 +373,45 @@ def _clock_full_one(
     base_valid = jnp.full((c,), w, jnp.int32)
     ii0 = (jnp.int32(SUFFIX) - state.resid.astype(jnp.int32)).astype(jnp.int32)
 
+    overflowed = jnp.zeros((c,), jnp.float32)
     if backend == "pallas":
-        from sdrmodem_tpu.ops.pallas_clock import clock_mm_tpu
+        from sdrmodem_tpu.ops.pallas_clock import clock_mm_tpu, full_tile
 
-        outs, counts, fin = clock_mm_tpu(
-            work,
-            base_valid,
-            state.omega,
-            state.mu,
-            state.last_sample,
-            ii0=ii0,
-            omega_mid=float(omega_mid),
-            omega_relative_limit=omega_relative_limit,
-            gain_omega=gain_omega,
-            gain_mu=gain_mu,
-            num_symbols=int(num_symbols),
-            time_major=True,
-            interpret=interpret,
+        def run(window_tile):
+            outs, counts, fin = clock_mm_tpu(
+                work,
+                base_valid,
+                state.omega,
+                state.mu,
+                state.last_sample,
+                ii0=ii0,
+                omega_mid=float(omega_mid),
+                omega_relative_limit=omega_relative_limit,
+                gain_omega=gain_omega,
+                gain_mu=gain_mu,
+                num_symbols=int(num_symbols),
+                time_major=True,
+                interpret=interpret,
+                tile=window_tile,
+            )
+            return outs, counts, fin["ii"], fin["omega"], fin["mu"], fin[
+                "last"
+            ], fin["overflow"]
+
+        first = run(tile)
+        # self-healing overflow guard: a lane spread past the drift bound
+        # of required_tile corrupts the windowed dot products — detect via
+        # fin["overflow"] and re-run this chunk on the full-buffer window
+        # (provably sufficient), matching the C loop's always-correct
+        # contract (src/dsp/clock_recovery_mm.c:78-139)
+        tripped = jnp.max(first[6]) > 0.0
+        results = jax.lax.cond(
+            tripped,
+            lambda: run(full_tile(w, float(omega_mid)))[:6],
+            lambda: first[:6],
         )
-        ii_f = fin["ii"]
-        omega_f, mu_f, last_f = fin["omega"], fin["mu"], fin["last"]
+        outs, counts, ii_f, omega_f, mu_f, last_f = results
+        overflowed = jnp.broadcast_to(tripped.astype(jnp.float32), (c,))
     else:
         def one(row, i0, mu_c, om_c, la_c):
             (ii_f, mu_f, om_f, la_f, count), outs = _mm_scan_core(
@@ -388,7 +428,8 @@ def _clock_full_one(
 
     resid = jnp.clip(jnp.int32(w) - jnp.minimum(ii_f, w), 0, SUFFIX - 1)
     new_state = ClockFullState(
-        omega_f, mu_f, last_f, work[-SUFFIX:, :], resid.astype(jnp.int32)
+        omega_f, mu_f, last_f, work[-SUFFIX:, :], resid.astype(jnp.int32),
+        state.overflow + overflowed,
     )
     return outs, counts, new_state
 
@@ -431,18 +472,32 @@ def clock_mm_batched_pallas(
     base_valid = state.tail_len + n_valid.astype(jnp.int32)
     work = jnp.where(jnp.arange(w)[None, :] < base_valid[:, None], work, 0.0)
 
-    outs, counts, fin = clock_mm_tpu(
-        work,
-        base_valid,
-        state.omega,
-        state.mu,
-        state.last_sample,
-        omega_mid=float(omega_mid),
-        omega_relative_limit=omega_relative_limit,
-        gain_omega=gain_omega,
-        gain_mu=gain_mu,
-        num_symbols=int(num_symbols),
-        interpret=interpret,
+    from sdrmodem_tpu.ops.pallas_clock import full_tile
+
+    def run(window_tile):
+        outs, counts, fin = clock_mm_tpu(
+            work,
+            base_valid,
+            state.omega,
+            state.mu,
+            state.last_sample,
+            omega_mid=float(omega_mid),
+            omega_relative_limit=omega_relative_limit,
+            gain_omega=gain_omega,
+            gain_mu=gain_mu,
+            num_symbols=int(num_symbols),
+            interpret=interpret,
+            tile=window_tile,
+        )
+        return outs, counts, fin
+
+    first = run(None)
+    # overflow guard: re-run on the provably sufficient full-buffer window
+    # when lane positions spread past required_tile's drift bound
+    outs, counts, fin = jax.lax.cond(
+        jnp.max(first[2]["overflow"]) > 0.0,
+        lambda: run(full_tile(w, float(omega_mid))),
+        lambda: first,
     )
 
     last_index = jnp.minimum(fin["ii"], base_valid)

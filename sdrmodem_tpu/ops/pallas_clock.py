@@ -221,16 +221,31 @@ def _mm_kernel(
     state_out_ref[4:, :] = jnp.zeros((4, c), jnp.float32)
 
 
+def _span_budget(omega_mid: float) -> int:
+    """Rows one UNROLL group can consume past the slowest lane's position."""
+    max_stride = int(np.ceil(omega_mid * 1.02)) + 2
+    return NTAPS + UNROLL * max_stride
+
+
 def required_tile(num_symbols: int, omega_mid: float, omega_relative_limit: float) -> int:
     """Worst-case window: lanes start a block within SUFFIX samples of each
-    other (the full-block suffix hand-off) and can drift apart at most
-    2*omega_mid*omega_relative_limit samples per symbol plus transient
-    jitter, so spread <= 64 + 0.25*num_symbols covers the pathological
-    all-lanes-diverging case; add the group's own consumption."""
-    spread = 64.0 + 0.25 * num_symbols
-    max_stride = int(np.ceil(omega_mid * 1.02)) + 2
-    need = int(np.ceil((spread + NTAPS + UNROLL * max_stride) / 128.0)) * 128
+    other (the full-block suffix hand-off) and their positions diverge at
+    most 2*omega_mid*omega_relative_limit samples per symbol (each lane's
+    omega is hard-clipped to the ±limit rails) plus bounded per-symbol
+    jitter from the mu update and floor() quantisation (non-cumulative,
+    covered by the +0.15/symbol margin and the +16 constant headroom).
+    Add the group's own consumption budget."""
+    drift = 2.0 * omega_mid * omega_relative_limit + 0.15
+    spread = 64.0 + drift * num_symbols + 16.0
+    need = int(np.ceil((spread + _span_budget(omega_mid)) / 128.0)) * 128
     return max(need, 2 * SUB)
+
+
+def full_tile(work_len: int, omega_mid: float) -> int:
+    """The provably sufficient window: covers the ENTIRE work buffer, so the
+    sliding-window offset clips to 0 and every lane position is in view no
+    matter how far lanes diverge.  Used as the overflow fallback."""
+    return int(np.ceil((work_len + _span_budget(omega_mid) + 8) / 128.0)) * 128
 
 
 def clock_mm_tpu(

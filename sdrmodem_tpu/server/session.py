@@ -149,10 +149,20 @@ class RxSession:
         self.task = asyncio.create_task(self._run(), name=f"rx-session-{self.id}")
 
     async def emit(self, symbols: np.ndarray):
-        """Deliver one lane's demodulated symbols (fast mode)."""
+        """Deliver one lane's demodulated symbols (fast mode).
+
+        Guarded against teardown races: a batched step that snapshotted
+        this lane before ``stop()`` closed the writers must become a no-op
+        — an exception here would propagate through the group's feed()
+        into SdrStream._run and kill the reader for EVERY client."""
+        if self.finished.is_set():
+            return
         self.symbols_out += len(symbols)
         if self.demod_dump is not None:
-            self.demod_dump.write(symbols.tobytes())
+            try:
+                self.demod_dump.write(symbols.tobytes())
+            except ValueError:  # closed by stop() mid-step
+                return
         if self.to_socket and self.writer is not None:
             try:
                 self.writer.write(symbols.tobytes())
@@ -205,17 +215,26 @@ class RxSession:
     async def put(self, buf: np.ndarray):
         await self.queue.put(buf)
 
+    def finish_fast(self):
+        """Idempotently mark a fast-mode lane finished and close its
+        writers.  ``finished`` is set FIRST so in-flight emits see it
+        before the files close (both run on the event loop; emit has no
+        await between the check and the write)."""
+        if self.finished.is_set():
+            return
+        self.finished.set()
+        if self.rx_dump and not self.rx_dump.closed:
+            self.rx_dump.close()
+        if self.demod_dump and not self.demod_dump.closed:
+            self.demod_dump.close()
+        log.info(
+            "[%d] dsp_worker stopped (%d samples in, %d symbols out)",
+            self.id, self.samples_in, self.symbols_out,
+        )
+
     async def stop(self):
         if self.mode == "fast":
-            if self.rx_dump:
-                self.rx_dump.close()
-            if self.demod_dump:
-                self.demod_dump.close()
-            self.finished.set()
-            log.info(
-                "[%d] dsp_worker stopped (%d samples in, %d symbols out)",
-                self.id, self.samples_in, self.symbols_out,
-            )
+            self.finish_fast()
             return
         await self.queue.interrupt()
         if self.task:
@@ -246,6 +265,12 @@ class BatchedRxGroup:
         self.state = self.pipe.init_full_state(self.LANES)
         self._init_state_template = self.pipe.init_full_state(1)
         self.lanes: dict[int, RxSession] = {}
+        # lanes whose state must be zeroed before the NEXT step: attach()
+        # must not mutate self.state directly — a step awaiting in a worker
+        # thread read the pre-reset state and would overwrite the reset on
+        # return, silently handing the new client the previous occupant's
+        # filter/clock history
+        self._pending_resets: set[int] = set()
         self.acc = np.zeros(block, np.complex64)
         self.fill = 0
         self._jnp = jnp
@@ -255,7 +280,7 @@ class BatchedRxGroup:
 
     def attach(self, session: RxSession) -> int:
         lane = next(i for i in range(self.LANES) if i not in self.lanes)
-        self._reset_lane(lane)
+        self._pending_resets.add(lane)
         self.lanes[lane] = session
         session.group = self
         session.lane = lane
@@ -302,7 +327,15 @@ class BatchedRxGroup:
                 await self._step_block()
 
     async def _step_block(self):
-        sessions = dict(self.lanes)
+        # apply lane resets queued by attach() while a previous step was in
+        # flight; feed()/_step_block run serially (one stream reader), so
+        # no step can be mid-flight here
+        for lane in self._pending_resets:
+            self._reset_lane(lane)
+        self._pending_resets.clear()
+        sessions = {
+            lane: s for lane, s in self.lanes.items() if not s.finished.is_set()
+        }
         if not sessions:
             return
         x = np.zeros((self.LANES, 2, self.block), np.float32)
@@ -378,9 +411,13 @@ class SdrStream:
         except Exception:
             log.exception("[%d] sdr stream failed", self.id)
         finally:
-            # stream ended: poison-pill every attached session (:49-53)
+            # stream ended: poison-pill every attached session (:49-53);
+            # fast-mode lanes are notified too (finished + writers closed)
+            # so nothing keeps emitting into a dead stream
             for session in list(self.sessions):
-                if session.mode != "fast":
+                if session.mode == "fast":
+                    session.finish_fast()
+                else:
                     await session.queue.interrupt()
 
     async def remove_session(self, session: RxSession) -> bool:

@@ -109,6 +109,43 @@ def test_pallas_clock_batched_state_handoff():
         assert (np.abs(gi - ri) <= 2).all()
 
 
+def test_clock_overflow_guard_heals_and_counts():
+    """Force lane positions past the kernel's window (tile test hook):
+    the overflow guard must flag, re-run on the full-buffer window, and
+    produce EXACTLY what a non-overflowing run produces — the C loop's
+    always-correct contract (src/dsp/clock_recovery_mm.c:78-139) instead
+    of silent corruption."""
+    from sdrmodem_tpu.dsp.clock_recovery import (
+        SUFFIX, clock_mm_batched_full, initial_full_state,
+    )
+
+    p = mm_params(5.0)
+    c, n = 2, 2048
+    y = _soft_signals(c, n, 5.0).T.copy()  # (n, C) time-major
+    st = initial_full_state(p["omega"], c)
+    # divergent residuals: read pointers start SUFFIX-1 rows apart, so a
+    # 128-row window cannot cover both lanes -> overflow on group 0
+    st = st._replace(resid=jnp.array([0, SUFFIX - 1], jnp.int32))
+    kw = dict(
+        omega=p["omega"], gain_omega=p["gain_omega"], mu=p["mu"],
+        gain_mu=p["gain_mu"], omega_relative_limit=p["omega_relative_limit"],
+        backend="pallas", interpret=True,
+    )
+    outs_ok, counts_ok, fin_ok = clock_mm_batched_full(jnp.asarray(y), st, **kw)
+    assert np.all(np.asarray(fin_ok.overflow) == 0.0)  # default tile suffices
+
+    outs_h, counts_h, fin_h = clock_mm_batched_full(
+        jnp.asarray(y), st, tile=128, **kw
+    )
+    assert np.all(np.asarray(fin_h.overflow) >= 1.0)  # guard tripped
+    # healed output is bit-identical to the non-overflowing run (same
+    # kernel math; windows only add exact zeros to the dot products)
+    np.testing.assert_array_equal(np.asarray(counts_h), np.asarray(counts_ok))
+    np.testing.assert_array_equal(np.asarray(outs_h), np.asarray(outs_ok))
+    for a, b in zip(fin_h[:5], fin_ok[:5]):  # state equal except counter
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_batched_pipeline_pallas_backend_golden(resources_dir):
     iq = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)[:24576]
     golden = np.fromfile(resources_dir / "lucky7.expected.s8", dtype=np.int8)

@@ -364,6 +364,99 @@ def test_rx_invalid_fsk_params_internal_error(tmp_path):
     run(body())
 
 
+def test_fast_lane_attach_race_gets_fresh_state(tmp_path):
+    """A client attaching while a batched step is in flight must start
+    from ZERO history: attach() queues the lane reset and _step_block
+    applies it before the next step.  (An immediate reset would be
+    overwritten when the in-flight step's returning state is assigned,
+    silently handing the new client the previous occupant's filter and
+    clock history.)"""
+    import threading
+
+    import jax
+
+    from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig
+    from sdrmodem_tpu.server.session import BatchedRxGroup
+
+    class Stub:
+        doppler = None
+        samples_in = 0
+        group = None
+        lane = -1
+
+        def __init__(self):
+            self.finished = asyncio.Event()
+
+        async def emit(self, symbols):
+            pass
+
+    async def body():
+        cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
+        group = BatchedRxGroup(cfg, 2048)
+        a = Stub()
+        group.attach(a)
+        assert a.lane == 0
+
+        entered, release = threading.Event(), threading.Event()
+        captured = []
+        orig = group._step_host
+
+        def slow_step(x):
+            captured.append(jax.tree.map(np.asarray, group.state))
+            entered.set()
+            release.wait(60)
+            return orig(x)
+
+        group._step_host = slow_step
+        rng = np.random.default_rng(0)
+        buf = (rng.standard_normal(2048) + 1j * rng.standard_normal(2048)).astype(
+            np.complex64
+        )
+        t = asyncio.create_task(group.feed(buf))
+        await asyncio.to_thread(entered.wait, 60)
+        # step 1 in flight: occupant leaves, new client takes the lane
+        group.detach(a)
+        b = Stub()
+        group.attach(b)
+        assert b.lane == 0
+        release.set()
+        await t
+        assert 0 in group._pending_resets  # reset survives the step return
+
+        await group.feed(buf)  # step 2: b's first step
+        state_seen = captured[1]
+        cp = state_seen.quad_prev.shape[1] // 2
+        # lane 0 must be zero history in every leaf (fresh dsp_worker)
+        assert not state_seen.lpf1_hist[:, 0].any()
+        assert not state_seen.lpf1_hist[:, cp].any()  # Q half
+        assert not state_seen.clock.suffix[:, 0].any()
+        assert state_seen.clock.resid[0] == 0
+        # ...while the signal left real history in step 1's returning state
+        assert np.asarray(group.state.lpf1_hist[:, 1] == 0).all()  # empty lane stays 0
+
+    run(body())
+
+
+def test_fast_emit_after_stop_is_noop(tmp_path):
+    """stop()/stream-death closes a fast lane's writers; an in-flight step
+    that snapshotted the lane must emit into a no-op, not a ValueError
+    that would kill the stream reader for every client."""
+    from sdrmodem_tpu.server.session import RxSession
+
+    async def body():
+        cfg = make_config(tmp_path, demod_mode="fast")
+        req = rx_request(demod_destination=wire.DemodDestination.BOTH)
+        s = RxSession(7, req, cfg, writer=None)
+        await s.emit(np.ones(8, np.int8))
+        assert s.symbols_out == 8
+        s.finish_fast()
+        s.finish_fast()  # idempotent
+        await s.emit(np.ones(8, np.int8))  # closed writers: must not raise
+        assert s.symbols_out == 8
+
+    run(body())
+
+
 def test_rx_stream_demod_fast_mode(tmp_path, resources_dir):
     """demod_mode = fast: clients on one SDR stream are lanes of a single
     batched full-block Pallas step.  Two clients receive the same symbol
