@@ -143,3 +143,38 @@ class Doppler:
 
     def process_tx(self, iq: np.ndarray) -> np.ndarray:
         return self._mix(iq, -1)
+
+    # ------------------------------------------------------------------
+    # device-side application: the host keeps the 1 Hz SGP4 bookkeeping
+    # (this method) and the TPU applies the NCO multiply in-stream
+    # (dsp/elementwise.py nco_mix_pair_tm), mirroring the reference's
+    # split between doppler_calculate_shift and the volk NCO multiply
+    # (src/dsp/doppler.c:164-186, src/dsp/sig_source.c:60-75).
+    MAX_SEG = 4096  # sub-split long segments so the device's f32 phase
+    # ramp ph0 + i*adj keeps i small (absolute f32 error ~ i*adj*2^-24;
+    # at 4096 samples it is <1e-3 rad, below the goldens' 0.01 tolerance)
+
+    def device_segments(self, n: int, direction: int):
+        """Advance one ``n``-sample block of stream time and return the
+        piecewise-constant NCO descriptors [(start, length, adj, ph0)]
+        for the device: within each row the sample phase is
+        ph0 + (i - start) * adj.  State advances exactly like ``_mix``
+        (same int64 shift truncation, f32 increment, f64 phase carry),
+        so host- and device-applied correction match to f32 rounding."""
+        rows = []
+        for start, batch, freq in self._segments(n, direction):
+            adj = float(np.float32(_TWO_PI32 * np.float32(freq) / np.float32(self.fs)))
+            off = 0
+            while off < batch:
+                ln = min(self.MAX_SEG, batch - off)
+                ph0 = float(np.mod(self.phase + off * adj, 2 * np.pi))
+                rows.append((start + off, ln, np.float32(adj), np.float32(ph0)))
+                off += ln
+            self.phase = np.fmod(self.phase + batch * adj, 2 * np.pi)
+        return rows
+
+    @classmethod
+    def max_rows(cls, n: int, sampling_freq: int) -> int:
+        """Static bound on device_segments rows for an n-sample block."""
+        boundaries = n // int(sampling_freq) + 2  # 1 Hz update splits
+        return -(-n // cls.MAX_SEG) + boundaries

@@ -187,6 +187,40 @@ def freq_mod_stream(
     return jax.lax.complex(jnp.cos(ph32), jnp.sin(ph32)), next_phase
 
 
+def nco_mix_pair_tm(
+    x_tm: jnp.ndarray,  # (B, 2*Cp) f32 time-major, I lanes [0,Cp) Q [Cp,2Cp)
+    starts: jnp.ndarray,  # (S, Cp) f32 — row-active from starts[s]
+    ends: jnp.ndarray,  # (S, Cp) f32 — ... to ends[s] (exclusive)
+    adjs: jnp.ndarray,  # (S, Cp) f32 — per-sample phase increment
+    ph0s: jnp.ndarray,  # (S, Cp) f32 — phase at the row's first sample
+) -> jnp.ndarray:
+    """Per-lane piecewise-linear-phase NCO multiply in the time-major
+    layout — the device half of Doppler correction (host: SGP4 at 1 Hz →
+    Doppler.device_segments; reference src/dsp/doppler.c:164-186 +
+    src/dsp/sig_source.c:60-75).
+
+    Sample n of lane c gets phase ph0s[s,c] + (n - starts[s,c]) *
+    adjs[s,c] for the row s whose [start, end) contains n, and phase 0
+    (an EXACT identity multiply: i*1 - q*0 = i) where no row matches —
+    so doppler-free lanes pass through bit-identical and the mix can be
+    unconditionally fused into the batched step.  S is a small static
+    bound (Doppler.max_rows), so this is S fused compare+FMA passes on
+    the VPU — trivial next to the FIR matmuls.
+    """
+    b, cp2 = x_tm.shape
+    cp = cp2 // 2
+    s_rows = starts.shape[0]
+    n = jax.lax.broadcasted_iota(jnp.float32, (b, 1), 0)
+    phase = jnp.zeros((b, cp), jnp.float32)
+    for s in range(s_rows):
+        active = (n >= starts[s][None, :]) & (n < ends[s][None, :])
+        ramp = ph0s[s][None, :] + (n - starts[s][None, :]) * adjs[s][None, :]
+        phase = phase + jnp.where(active, ramp, 0.0)
+    c, si = jnp.cos(phase), jnp.sin(phase)
+    i, q = x_tm[:, :cp], x_tm[:, cp:]
+    return jnp.concatenate([i * c - q * si, i * si + q * c], axis=1)
+
+
 def freq_mod_stream_pair(
     x: jnp.ndarray,
     sensitivity: float,

@@ -438,13 +438,20 @@ class DemodPipeline:
         return (lpf1_hist, quad_prev, lpf2_hist, dc_hist), y3
 
     def make_batched_step_full(
-        self, clock_backend: str = "pallas", *, interpret: bool = False
+        self, clock_backend: str = "pallas", *, interpret: bool = False,
+        doppler: bool = False,
     ):
         """Batched full-block step: (state, x (C, 2, B)) -> (state', symbols
         (C, K), counts (C,)).  Every channel advances by exactly ``block``
         samples; the server's batch feeder accumulates partial chunks
         host-side.  One (C,2,B) -> (B,2C) transpose at the input is the
-        only re-layout in the whole step."""
+        only re-layout in the whole step.
+
+        With ``doppler=True`` the step takes an extra
+        (starts, ends, adjs, ph0s) tuple of (S, C) float32 tables (from
+        Doppler.device_segments) and applies the per-lane NCO multiply
+        in-stream before LPF1 — the device half of Doppler correction.
+        Lanes with no active rows pass through bit-identically."""
         if self.exact:
             raise ValueError("the full-block fast path is float32-only")
         p = self._clockp
@@ -453,13 +460,17 @@ class DemodPipeline:
         if _jax.default_backend() == "cpu":
             interpret = True  # Mosaic kernels need a TPU; CPU = interpret mode
 
-        def step(state: DemodStateFull, x: jnp.ndarray):
+        def step(state: DemodStateFull, x: jnp.ndarray, dop=None):
             c = x.shape[0]
             cp = state.quad_prev.shape[1] // 2
             x_tm = jnp.transpose(x, (2, 1, 0))  # (B, 2, C)
             if cp != c:
                 x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, cp - c)))
             x_tm = x_tm.reshape(self.block, 2 * cp)
+            if dop is not None:
+                from sdrmodem_tpu.dsp.elementwise import nco_mix_pair_tm
+
+                x_tm = nco_mix_pair_tm(x_tm, *dop)
             front, y3 = self._front_batched_full(state, x_tm, interpret=interpret)
             outs, counts, clock_state = clock_mm_batched_full(
                 y3, state.clock,
@@ -471,7 +482,9 @@ class DemodPipeline:
             new_state = DemodStateFull(*front, clock_state)
             return new_state, float_to_int8(outs[:c]), counts[:c]
 
-        return jax.jit(step)
+        if doppler:
+            return jax.jit(step)
+        return jax.jit(lambda state, x: step(state, x))
 
     def make_batched_step(self, clock_backend: str = "scan", *, interpret: bool = False):
         """Batched (channel-axis) step.  ``clock_backend='pallas'`` runs the

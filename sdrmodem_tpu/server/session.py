@@ -261,7 +261,10 @@ class BatchedRxGroup:
         # gather (~25x the whole step's cost on this TPU backend); the
         # difference is ~1e-5 rad, far inside the +-2 LSB output policy
         self.pipe = DemodPipeline(fsk_config, block, exact=False, use_atan_lut=False)
-        self._step = self.pipe.make_batched_step_full("pallas")
+        self._step = self.pipe.make_batched_step_full("pallas", doppler=True)
+        # device-side Doppler: S piecewise-linear phase rows per block
+        # (host keeps the 1 Hz SGP4 bookkeeping; Doppler.device_segments)
+        self.dop_rows = Doppler.max_rows(block, fsk_config.sampling_freq)
         self.state = self.pipe.init_full_state(self.LANES)
         self._init_state_template = self.pipe.init_full_state(1)
         self.lanes: dict[int, RxSession] = {}
@@ -339,15 +342,29 @@ class BatchedRxGroup:
         if not sessions:
             return
         x = np.zeros((self.LANES, 2, self.block), np.float32)
+        # per-lane Doppler as device NCO tables: the host only runs the
+        # 1 Hz SGP4 bookkeeping (cheap scalars), the mix itself happens
+        # on-device inside the batched step — no serialized per-lane
+        # host math (reference applies it in-stream, doppler.c:164-186)
+        s_rows = self.dop_rows
+        starts = np.zeros((s_rows, self.LANES), np.float32)
+        ends = np.zeros((s_rows, self.LANES), np.float32)
+        adjs = np.zeros((s_rows, self.LANES), np.float32)
+        ph0s = np.zeros((s_rows, self.LANES), np.float32)
         for lane, s in sessions.items():
-            chunk = self.acc
-            if s.doppler is not None:
-                chunk = await asyncio.to_thread(s.doppler.process_rx, chunk)
-            x[lane, 0] = chunk.real
-            x[lane, 1] = chunk.imag
+            x[lane, 0] = self.acc.real
+            x[lane, 1] = self.acc.imag
             s.samples_in += self.block
+            if s.doppler is not None:
+                for k, (st, ln, adj, ph0) in enumerate(
+                    s.doppler.device_segments(self.block, +1)
+                ):
+                    starts[k, lane] = st
+                    ends[k, lane] = st + ln
+                    adjs[k, lane] = adj
+                    ph0s[k, lane] = ph0
         self.state, symbols, counts = await asyncio.to_thread(
-            self._step_host, x
+            self._step_host, x, (starts, ends, adjs, ph0s)
         )
         # symbols: (C, n_chunks, K_c) with per-(lane, chunk) valid counts
         for lane, s in sessions.items():
@@ -359,8 +376,10 @@ class BatchedRxGroup:
             if parts:
                 await s.emit(np.concatenate(parts))
 
-    def _step_host(self, x: np.ndarray):
-        state, symbols, counts = self._step(self.state, self._jnp.asarray(x))
+    def _step_host(self, x: np.ndarray, dop):
+        state, symbols, counts = self._step(
+            self.state, self._jnp.asarray(x), tuple(map(self._jnp.asarray, dop))
+        )
         return state, np.asarray(symbols), np.asarray(counts)
 
 

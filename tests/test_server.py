@@ -401,11 +401,11 @@ def test_fast_lane_attach_race_gets_fresh_state(tmp_path):
         captured = []
         orig = group._step_host
 
-        def slow_step(x):
+        def slow_step(x, dop):
             captured.append(jax.tree.map(np.asarray, group.state))
             entered.set()
             release.wait(60)
-            return orig(x)
+            return orig(x, dop)
 
         group._step_host = slow_step
         rng = np.random.default_rng(0)
