@@ -147,6 +147,7 @@ def demod_pipelined(
     *,
     clock_backend: str = "pallas",
     interpret: bool = False,
+    use_atan_lut: bool = False,
 ):
     """PRODUCTION multi-device path: S = D streams demodulated with each
     stream's time axis sharded over the mesh, ZERO idle device-rounds.
@@ -177,6 +178,8 @@ def demod_pipelined(
     Returns list of S int8 symbol arrays, bit-identical to feeding each
     stream through DemodPipeline.make_batched_step_full with block = N/D.
     """
+    if jax.default_backend() == "cpu":
+        interpret = True  # Mosaic kernels need a TPU; CPU = interpret mode
     n_dev = mesh.shape[axis]
     s_streams, n = iq.shape
     if s_streams != n_dev:
@@ -201,8 +204,7 @@ def demod_pipelined(
         jnp.asarray(x_skew), NamedSharding(mesh, P(axis, None, None))
     )
 
-    pipe_like = _PipeTaps(config)
-    n2 = block // d
+    pipe_like = _PipeTaps(config, use_atan_lut)
     from sdrmodem_tpu.dsp.clock_recovery import initial_full_state
 
     p_clock = config.clock_params()
@@ -210,6 +212,7 @@ def demod_pipelined(
 
     def shard_fn(x_loc, cstate):
         x_tm = x_loc[0]  # (B, 2*lanes)
+        cstate = jax.tree.map(lambda a: a[0], cstate)  # strip local shard dim
         soft = _front_full_halo(x_tm, pipe_like, axis, lanes, interpret)
         outs, counts = _clock_rotation(
             soft, cstate, pipe_like, axis, n_dev, lanes,
@@ -232,19 +235,18 @@ def demod_pipelined(
     outs, counts = run(x, cstate)
     outs, counts = np.asarray(outs), np.asarray(counts)
 
-    # reassemble: stream s's block r was produced on device (s + r) mod D
+    # reassemble: stream s's block r was produced on device (s + r) mod D.
+    # When n is not a multiple of D*decimation the zero padding clocks out
+    # trailing zero symbols, exactly as the unsharded step would on the
+    # same padded stream.
     results = []
-    valid_in = n // d
     for s in range(s_streams):
         parts = []
-        emitted_in = 0
         for r in range(n_dev):
             dev = (s + r) % n_dev
             for t in range(counts.shape[2]):
                 parts.append(outs[dev, r, t, : counts[dev, r, t]])
-        sym = np.concatenate(parts)
-        # drop symbols clocked out of the zero padding past the true length
-        results.append(sym)
+        results.append(np.concatenate(parts))
     return results
 
 
@@ -253,8 +255,9 @@ class _PipeTaps:
     values DemodPipeline computes; kept standalone so the shard function
     closes over plain arrays)."""
 
-    def __init__(self, config: FskDemodConfig):
+    def __init__(self, config: FskDemodConfig, use_atan_lut: bool = False):
         self.config = config
+        self.use_atan_lut = use_atan_lut  # production server default (session.py)
         self.t1 = np.asarray(config.lpf1_taps(), np.float32)
         self.t2 = np.asarray(config.lpf2_taps(), np.float32)
         self.tdc = (
@@ -297,8 +300,11 @@ def _front_full_halo(x_tm, taps: _PipeTaps, axis_name, lanes, interpret):
     si, sq = shifted[:, :lanes], shifted[:, lanes:]
     re = i * si + q * sq
     im = q * si - i * sq
-    both_zero = ~((jnp.abs(im) > 0) | (jnp.abs(re) > 0))
-    ang = jnp.where(both_zero, jnp.float32(0.0), jnp.arctan2(im, re))
+    if taps.use_atan_lut:
+        ang = fast_atan2(im, re)
+    else:
+        both_zero = ~((jnp.abs(im) > 0) | (jnp.abs(re) > 0))
+        ang = jnp.where(both_zero, jnp.float32(0.0), jnp.arctan2(im, re))
     yq = jnp.float32(cfg.quad_gain) * ang  # (B, lanes)
 
     n2 = b // d
@@ -329,8 +335,8 @@ def _clock_rotation(
 
     outs_rounds, counts_rounds = [], []
     for r in range(n_dev):
-        lane = jax.lax.rem(p - r + n_dev, n_dev)
-        my = jax.lax.dynamic_slice(soft, (0, lane), (n2, 1))
+        lane = jax.lax.rem(p - jnp.int32(r) + jnp.int32(n_dev), jnp.int32(n_dev))
+        my = jax.lax.dynamic_slice(soft, (jnp.int32(0), lane), (n2, 1))
         o, cnt, cstate = clock_mm_batched_full(
             my, cstate,
             omega=p_clock["omega"], gain_omega=p_clock["gain_omega"],

@@ -113,6 +113,70 @@ def test_channel_sharded_full_path(resources_dir):
     np.testing.assert_array_equal(lane0, ref)
 
 
+def test_pipelined_streams_equal_unsharded_full_block(resources_dir):
+    """PRODUCTION multi-device path: 8 independent streams, each stream's
+    time axis sharded over 8 devices in the skewed systolic layout, front
+    end on the banded-MXU kernels with ring-halo state, clock rotation
+    with ppermuted suffix-carry.  Every stream's symbols must equal
+    feeding that stream alone through the single-chip full-block step
+    with block = N/D: same symbol count (the M&M clock walks the same
+    path — no divergence), values within the reference's own ±2 LSB
+    golden policy (test/test_fsk_demod.c:43-48; XLA compiles the
+    shard_map program with different fusion/FMA choices than the plain
+    one, so 1-ulp float wiggle at int8 rounding boundaries is expected —
+    the same wiggle the reference accepts across machines)."""
+    from sdrmodem_tpu.dsp.pipeline import DemodPipeline
+    from sdrmodem_tpu.parallel.time_shard import demod_pipelined
+
+    n_dev, n = 8, 32768
+    iq = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)
+    rng = np.random.default_rng(7)
+    # 8 DISTINCT streams: different capture offsets + per-stream noise, so
+    # symbol clocks genuinely diverge across the rotation
+    streams = np.stack(
+        [
+            iq[s * 1024 : s * 1024 + n]
+            + 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+            for s in range(n_dev)
+        ]
+    ).astype(np.complex64)
+
+    mesh = _mesh("time")
+    outs = demod_pipelined(streams, CFG, mesh, clock_backend="scan")
+    assert len(outs) == n_dev
+
+    block = n // n_dev
+    pipe = DemodPipeline(CFG, block, exact=False, use_atan_lut=False)
+    step = pipe.make_batched_step_full("scan")
+    for s in range(n_dev):
+        st = pipe.init_full_state(1)
+        parts = []
+        for dd in range(n_dev):
+            x = np.stack(
+                [
+                    streams[s, dd * block : (dd + 1) * block].real,
+                    streams[s, dd * block : (dd + 1) * block].imag,
+                ]
+            )[None].astype(np.float32)
+            st, sym, cnt = step(st, jnp.asarray(x))
+            sym, cnt = np.asarray(sym), np.asarray(cnt)
+            parts.extend(sym[0, t, : cnt[0, t]] for t in range(cnt.shape[1]))
+        ref = np.concatenate(parts)
+        assert len(outs[s]) == len(ref)  # identical clock path
+        diff = np.abs(outs[s].astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 2 and (diff > 0).mean() < 0.01
+
+
+def test_pipeline_schedule_is_bubble_free():
+    from sdrmodem_tpu.parallel.time_shard import pipeline_schedule_report
+
+    rep = pipeline_schedule_report(8, 1 << 20, CFG)
+    assert rep["idle_device_rounds"] == 0
+    assert rep["schedule_efficiency"] == 1.0
+    assert rep["busy_device_rounds"] == rep["clock_block_tasks"] == 64
+    assert rep["halo_bytes_per_device"] > 0
+
+
 def test_grid_sharded_channels_by_time(resources_dir):
     """2-D mesh: 2 channel shards x 4 time shards; every channel's output
     matches the unsharded whole-stream demodulator."""
