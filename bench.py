@@ -46,7 +46,8 @@ def main() -> None:
         clock_backend = "scan"  # Mosaic kernels need a TPU
 
     cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
-    use_lut = os.environ.get("SDRM_BENCH_ATAN", "poly") == "lut"
+    atan_env = os.environ.get("SDRM_BENCH_ATAN", "free")  # free | lut | atan2
+    use_lut = {"lut": True, "atan2": False}.get(atan_env, "free")
     mode = os.environ.get("SDRM_BENCH_MODE", "full")  # full | ragged
     pipe = DemodPipeline(cfg, block, exact=False, use_atan_lut=use_lut)
 
@@ -94,16 +95,52 @@ def main() -> None:
     samples = channels * block * iters
     msps = samples / dt / 1e6
     assert total > 0
-    print(
-        json.dumps(
-            {
-                "metric": "gmsk_demod_throughput",
-                "value": round(msps, 2),
-                "unit": "Msamples/s/chip",
-                "vs_baseline": round(msps / baseline_msps, 2),
-            }
-        )
-    )
+    result = {
+        "metric": "gmsk_demod_throughput",
+        "value": round(msps, 2),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / baseline_msps, 2),
+    }
+
+    # golden parity on-device: replay the lucky7 fixture through the SAME
+    # compiled production program (its config IS the bench config) and
+    # record the reference's own acceptance numbers (+-2 LSB,
+    # /root/reference/test/test_fsk_demod.c:43-48).  tools/parity.py runs
+    # the full four-fixture suite.
+    if mode == "full" and os.environ.get("SDRM_BENCH_PARITY", "1") != "0":
+        try:
+            golden = np.fromfile(
+                "/root/reference/test/resources/lucky7.expected.s8", dtype=np.int8
+            )
+            padded = np.zeros(-(-len(iq) // block) * block, np.complex64)
+            padded[: len(iq)] = iq
+            pstate = pipe.init_full_state(channels)
+            out = []
+            for start in range(0, len(padded), block):
+                chunk = padded[start : start + block]
+                xp = np.broadcast_to(
+                    np.stack([chunk.real, chunk.imag]).astype(np.float32),
+                    (channels, 2, block),
+                )
+                pstate, sym, cnt = step_full(pstate, jnp.asarray(xp))
+                sym0 = np.asarray(sym)[0]
+                for k, c in enumerate(np.asarray(cnt)[0]):
+                    if c:
+                        out.append(sym0[k, : int(c)])
+            got = np.concatenate(out) if out else np.zeros(0, np.int8)
+            m = min(len(got), len(golden))
+            diff = np.abs(got[:m].astype(np.int32) - golden[:m].astype(np.int32))
+            result.update(
+                parity_fixture="lucky7.expected.s8",
+                parity_symbols=int(len(golden)),
+                parity_max_lsb=int(diff.max()) if m else -1,
+                parity_mismatch_rate=round(float((diff != 0).mean()), 6) if m else 1.0,
+                parity_beyond_tol_rate=round(float((diff > 2).mean()), 6) if m else 1.0,
+            )
+        except Exception as exc:  # parity must never sink the bench number
+            result["parity_error"] = repr(exc)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

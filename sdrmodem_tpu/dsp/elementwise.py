@@ -69,6 +69,72 @@ def fast_atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(both_zero, jnp.float32(0.0), angle)
 
 
+def fast_atan2_free(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free evaluation of the reference LUT arctangent.
+
+    Numerically the same function as ``fast_atan2`` (the 257-entry
+    piecewise-linear table of reference src/math/fast_atan2f.c:23-150), but
+    the two bracketing table entries atan(k/255), atan((k+1)/255) are
+    recomputed on the fly with ``jnp.arctan`` instead of gathered — each
+    entry matches the stored float32 table value to <=2 ulp (~1e-7 rad,
+    far below the table's own ~1.25e-6 rad interpolation error).  Gathers
+    are 10-100x slower than elementwise work on the TPU backend, so this
+    is the production-default quad-demod arctangent: reference LUT
+    semantics at VPU elementwise cost.
+    """
+    y = y.astype(jnp.float32)
+    x = x.astype(jnp.float32)
+    y_abs = jnp.abs(y)
+    x_abs = jnp.abs(x)
+    both_zero = ~((y_abs > 0.0) | (x_abs > 0.0))
+    denom = jnp.maximum(jnp.maximum(y_abs, x_abs), jnp.float32(1e-45))
+    z = jnp.minimum(y_abs, x_abs) / denom
+
+    alpha = z * jnp.float32(255.0)
+    index = jnp.clip(alpha.astype(jnp.int32), 0, 255)
+    frac = alpha - index.astype(jnp.float32)
+    inv = jnp.float32(1.0 / 255.0)
+    kf = index.astype(jnp.float32)
+    t0 = jnp.arctan(kf * inv)
+    # table[256] duplicates table[255] as an interpolation guard
+    t1 = jnp.arctan(jnp.minimum(kf + 1.0, jnp.float32(255.0)) * inv)
+    interp = t0 + (t1 - t0) * frac
+    tan_map_res = jnp.float32(0.003921569)
+    base = jnp.where(z < tan_map_res, z, interp)
+
+    pi = jnp.float32(np.pi)
+    half_pi = jnp.float32(np.pi / 2)
+    angle = jnp.where(
+        x_abs > y_abs,
+        jnp.where(
+            x >= 0.0,
+            jnp.where(y >= 0.0, base, -base),
+            jnp.where(y >= 0.0, pi - base, base - pi),
+        ),
+        jnp.where(
+            y >= 0.0,
+            jnp.where(x >= 0.0, half_pi - base, half_pi + base),
+            jnp.where(x >= 0.0, base - half_pi, -half_pi - base),
+        ),
+    )
+    return jnp.where(both_zero, jnp.float32(0.0), angle)
+
+
+def atan2_dispatch(im: jnp.ndarray, re: jnp.ndarray, mode) -> jnp.ndarray:
+    """Select the quad-demod arctangent.
+
+    mode: True / "lut"  -> table gather + lerp (bit path of the reference)
+          "free"        -> gather-free LUT (production default on TPU)
+          False / "atan2" -> plain arctan2 with the LUT's (0,0) -> 0 rule
+    """
+    if mode is True or mode == "lut":
+        return fast_atan2(im, re)
+    if mode == "free":
+        return fast_atan2_free(im, re)
+    both_zero = ~((jnp.abs(im) > 0) | (jnp.abs(re) > 0))
+    return jnp.where(both_zero, jnp.float32(0.0), jnp.arctan2(im, re))
+
+
 def quad_demod_stream(
     x: jnp.ndarray,
     gain: float,
@@ -89,13 +155,7 @@ def quad_demod_stream(
     shifted = jnp.concatenate([prev, x[..., :-1]], axis=-1)
     prod = x * jnp.conj(shifted)
     im, re = jnp.imag(prod), jnp.real(prod)
-    if use_lut:
-        ang = fast_atan2(im, re)
-    else:
-        # keep the LUT's (±0, ±0) -> 0 semantics (first sample, NaN squash)
-        both_zero = ~((jnp.abs(im) > 0) | (jnp.abs(re) > 0))
-        ang = jnp.where(both_zero, jnp.float32(0.0), jnp.arctan2(im, re))
-    return jnp.float32(gain) * ang
+    return jnp.float32(gain) * atan2_dispatch(im, re, use_lut)
 
 
 def dc_blocker_length(sps: float) -> int:
@@ -225,13 +285,66 @@ def freq_mod_stream_pair(
     x: jnp.ndarray,
     sensitivity: float,
     phase0=0.0,
+    *,
+    exact: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """``freq_mod_stream`` without a complex dtype: returns (I, Q, next
     phase) float32 arrays.  The production TPU backend (axon) does not
     lower complex types at all, so the TX hot path carries IQ as pairs
-    just like the RX pipeline (dsp/pipeline.py) and combines on the host."""
+    just like the RX pipeline (dsp/pipeline.py) and combines on the host.
+
+    ``exact=False`` routes to the two-level f32 cumsum (``freq_mod_pair_fast``)."""
+    if not exact:
+        return freq_mod_pair_fast(x, sensitivity, phase0)
     inc = (jnp.float32(sensitivity) * x.astype(jnp.float32)).astype(jnp.float64)
     phase = jnp.asarray(phase0, jnp.float64) + jnp.cumsum(inc, axis=-1)
     next_phase = jnp.mod(phase[..., -1], 2 * np.pi)
     ph32 = jnp.mod(phase, 2 * np.pi).astype(jnp.float32)
     return jnp.cos(ph32), jnp.sin(ph32), next_phase
+
+
+def freq_mod_pair_fast(
+    x: jnp.ndarray,
+    sensitivity: float,
+    phase0=0.0,
+    *,
+    tile: int = 1024,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Production VCO: two-level parallel prefix sum, float32 hot path.
+
+    The reference's VCO (src/dsp/frequency_modulator.c:48-57) is a strictly
+    sequential float32 phase accumulator with ±2π wrapping.  A whole-stream
+    float64 cumsum reproduces it exactly but float64 is software-emulated
+    on TPU and the 2π reduction of an O(N)-magnitude phase dominates the TX
+    step.  Instead the increments are prefix-summed in two levels:
+
+    - local float32 cumsum inside tiles of ``tile`` samples (phase growth
+      per tile <= tile·|sensitivity| ~ 1.7e3 rad → f32 resolution ~1e-4 rad,
+      far inside the golden tolerances and BETTER than the reference's own
+      f32 accumulate-forever error);
+    - tile offsets = exclusive cumsum of the tile totals in float64
+      (N/tile values — negligible), reduced mod 2π before broadcast so the
+      f32 add never sees a large base.
+
+    Everything per-sample is float32 VPU work, fully parallel across tiles
+    and lanes.  Returns (I, Q, next_phase) like ``freq_mod_stream_pair``;
+    next_phase is float64 mod 2π so chunked streams stay phase-continuous.
+    """
+    xf = x.astype(jnp.float32)
+    shape = xf.shape
+    n = shape[-1]
+    m = min(tile, n)
+    pad = (-n) % m
+    if pad:
+        xf = jnp.pad(xf, [(0, 0)] * (xf.ndim - 1) + [(0, pad)])
+    tiles = xf.shape[-1] // m
+    inc = jnp.float32(sensitivity) * xf
+    local = jnp.cumsum(inc.reshape(*shape[:-1], tiles, m), axis=-1)  # f32
+    totals = local[..., -1].astype(jnp.float64)  # (..., tiles)
+    offs = jnp.cumsum(totals, axis=-1) - totals  # exclusive prefix, f64
+    offs = jnp.mod(jnp.asarray(phase0, jnp.float64) + offs, 2 * np.pi)
+    phase = offs.astype(jnp.float32)[..., None] + local
+    next_phase = jnp.mod(offs[..., -1] + totals[..., -1], 2 * np.pi)
+    i = jnp.cos(phase).reshape(*shape[:-1], tiles * m)[..., :n]
+    q = jnp.sin(phase).reshape(*shape[:-1], tiles * m)[..., :n]
+    return i, q, next_phase

@@ -58,6 +58,7 @@ def conv1d(
         padding=[(left_pad, 0)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.astype(jnp.float32)
 
@@ -116,7 +117,12 @@ def conv1d_banded(
     # one dense (tile_out, lpad) @ (lpad, g*b) matmul: tiles stacked along
     # the column dimension keep the MXU at full width regardless of g
     cols = jnp.transpose(frames, (1, 0, 2)).reshape(lpad, g * b)
-    out2d = jnp.dot(jnp.asarray(wmat), cols, preferred_element_type=jnp.float32)
+    # HIGHEST: the TPU MXU's default single bf16 pass leaves a ~-34 dB
+    # error floor on the filtered signal (see ops/pallas_fir.py)
+    out2d = jnp.dot(
+        jnp.asarray(wmat), cols, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     out = out2d.reshape(tile_out, g, b).transpose(1, 0, 2)
     return out.reshape(g * tile_out, b)[:max_out].T
 

@@ -66,14 +66,18 @@ class GfskModulator:
         filtered = interp_fir_stream(nrz, self.taps, self.interpolation)
         return freq_mod_stream(filtered, self.config.sensitivity, phase0)
 
-    def process_pair(self, data: jnp.ndarray, phase0=0.0):
+    def process_pair(self, data: jnp.ndarray, phase0=0.0, *, exact: bool = False):
         """Complex-free variant for the TPU backend: uint8 (..., N) →
-        (I, Q float32 (..., N*8*int(sps)), next_phase)."""
+        (I, Q float32 (..., N*8*int(sps)), next_phase).
+
+        ``exact=False`` (production) runs the VCO as a two-level float32
+        prefix sum (elementwise.freq_mod_pair_fast, ~O(tile) parallel);
+        ``exact=True`` keeps the float64-accumulated parity VCO."""
         from sdrmodem_tpu.dsp.elementwise import freq_mod_stream_pair
 
         nrz = bytes_to_nrz(data)
         filtered = interp_fir_stream(nrz, self.taps, self.interpolation)
-        return freq_mod_stream_pair(filtered, self.config.sensitivity, phase0)
+        return freq_mod_stream_pair(filtered, self.config.sensitivity, phase0, exact=exact)
 
     @cached_property
     def jit_process(self):

@@ -37,7 +37,7 @@ from sdrmodem_tpu.dsp.clock_recovery import (
     initial_full_state,
     initial_state,
 )
-from sdrmodem_tpu.dsp.elementwise import dc_blocker_taps, fast_atan2
+from sdrmodem_tpu.dsp.elementwise import atan2_dispatch, dc_blocker_taps
 from sdrmodem_tpu.dsp.fir import conv1d
 from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig, float_to_int8
 
@@ -130,12 +130,7 @@ def _quad_demod_ragged(prev, x, n_valid, gain, use_lut):
     shifted = jnp.concatenate([prev[:, None], x[:, :-1]], axis=1)
     re = x[0] * shifted[0] + x[1] * shifted[1]
     im = x[1] * shifted[0] - x[0] * shifted[1]
-    if use_lut:
-        ang = fast_atan2(im, re)
-    else:
-        both_zero = ~((jnp.abs(im) > 0) | (jnp.abs(re) > 0))
-        ang = jnp.where(both_zero, jnp.float32(0.0), jnp.arctan2(im, re))
-    y = jnp.float32(gain) * ang
+    y = jnp.float32(gain) * atan2_dispatch(im, re, use_lut)
     # previous sample for the next block = last VALID sample of x
     idx = jnp.clip(n_valid - 1, 0, x.shape[1] - 1)
     new_prev = jnp.where(n_valid > 0, x[:, idx], prev)
@@ -150,7 +145,7 @@ class DemodPipeline:
         config: FskDemodConfig,
         block_size: int,
         *,
-        use_atan_lut: bool = True,
+        use_atan_lut=True,  # True/"lut" | "free" (production) | False/"atan2"
         exact: bool = False,
     ):
         self.config = config
@@ -413,12 +408,7 @@ class DemodPipeline:
         si, sq = shifted[:, :cp], shifted[:, cp:]
         re = i * si + q * sq
         im = q * si - i * sq
-        if self.use_atan_lut:
-            ang = fast_atan2(im, re)
-        else:
-            both_zero = ~((jnp.abs(im) > 0) | (jnp.abs(re) > 0))
-            ang = jnp.where(both_zero, jnp.float32(0.0), jnp.arctan2(im, re))
-        yq = jnp.float32(cfg.quad_gain) * ang  # (B, Cp)
+        yq = jnp.float32(cfg.quad_gain) * atan2_dispatch(im, re, self.use_atan_lut)  # (B, Cp)
         quad_prev = y1[-1:, :]
 
         n2 = b_ // d

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sdrmodem_tpu.dsp.clock_recovery import clock_mm_stream, initial_state
-from sdrmodem_tpu.dsp.elementwise import dc_blocker_taps, fast_atan2
+from sdrmodem_tpu.dsp.elementwise import atan2_dispatch, dc_blocker_taps, fast_atan2
 from sdrmodem_tpu.dsp.fir import fir_stream
 from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig, float_to_int8
 
@@ -147,7 +147,7 @@ def demod_pipelined(
     *,
     clock_backend: str = "pallas",
     interpret: bool = False,
-    use_atan_lut: bool = False,
+    use_atan_lut="free",
 ):
     """PRODUCTION multi-device path: S = D streams demodulated with each
     stream's time axis sharded over the mesh, ZERO idle device-rounds.
@@ -255,7 +255,7 @@ class _PipeTaps:
     values DemodPipeline computes; kept standalone so the shard function
     closes over plain arrays)."""
 
-    def __init__(self, config: FskDemodConfig, use_atan_lut: bool = False):
+    def __init__(self, config: FskDemodConfig, use_atan_lut="free"):
         self.config = config
         self.use_atan_lut = use_atan_lut  # production server default (session.py)
         self.t1 = np.asarray(config.lpf1_taps(), np.float32)
@@ -300,12 +300,7 @@ def _front_full_halo(x_tm, taps: _PipeTaps, axis_name, lanes, interpret):
     si, sq = shifted[:, :lanes], shifted[:, lanes:]
     re = i * si + q * sq
     im = q * si - i * sq
-    if taps.use_atan_lut:
-        ang = fast_atan2(im, re)
-    else:
-        both_zero = ~((jnp.abs(im) > 0) | (jnp.abs(re) > 0))
-        ang = jnp.where(both_zero, jnp.float32(0.0), jnp.arctan2(im, re))
-    yq = jnp.float32(cfg.quad_gain) * ang  # (B, lanes)
+    yq = jnp.float32(cfg.quad_gain) * atan2_dispatch(im, re, taps.use_atan_lut)  # (B, lanes)
 
     n2 = b // d
     hist2 = _ring_halo(yq, len(taps.t2) - 1, axis_name, lanes, p)

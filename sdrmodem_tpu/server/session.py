@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -138,9 +139,32 @@ class RxSession:
         self.to_socket = dest in (wire.DemodDestination.SOCKET, wire.DemodDestination.BOTH)
         self.task: asyncio.Task | None = None
         self.finished = asyncio.Event()
-        # observability counters (the reference logs per-client byte totals)
+        # observability counters (the reference logs per-client byte totals;
+        # SURVEY §5 adds running samples/s, queue drops and clock overflows)
         self.samples_in = 0
         self.symbols_out = 0
+        self.overflow_events = 0  # clock-kernel healed-overflow chunks
+        self._rate_t0 = time.monotonic()
+        self._rate_samples = 0
+        self._rate_interval = 10.0  # seconds between samples/s log lines
+
+    def note_progress(self, n_samples: int):
+        """Update throughput counters; log a structured rate line every
+        ``_rate_interval`` seconds (SURVEY §5 'samples/s counters')."""
+        self.samples_in += n_samples
+        self._rate_samples += n_samples
+        now = time.monotonic()
+        dt = now - self._rate_t0
+        if dt >= self._rate_interval:
+            log.info(
+                "[%d] rx rate %.3f Msamples/s | totals: %d samples in, "
+                "%d symbols out, %d queue drops, %d clock overflows",
+                self.id, self._rate_samples / dt / 1e6,
+                self.samples_in, self.symbols_out,
+                self.queue.dropped, self.overflow_events,
+            )
+            self._rate_t0 = now
+            self._rate_samples = 0
 
     def start(self):
         if self.mode == "fast":
@@ -184,7 +208,7 @@ class RxSession:
                     self.rx_dump.write(np.asarray(buf, np.complex64).tobytes())
                 if self.doppler is not None:
                     buf = await asyncio.to_thread(self.doppler.process_rx, buf)
-                self.samples_in += len(buf)
+                self.note_progress(len(buf))
                 symbols = await asyncio.to_thread(self.demod.process, buf)
                 self.symbols_out += len(symbols)
                 if len(symbols) == 0:
@@ -208,8 +232,9 @@ class RxSession:
                 self.demod_dump.close()
             self.finished.set()
             log.info(
-                "[%d] dsp_worker stopped (%d samples in, %d symbols out)",
-                self.id, self.samples_in, self.symbols_out,
+                "[%d] dsp_worker stopped (%d samples in, %d symbols out, "
+                "%d queue drops)",
+                self.id, self.samples_in, self.symbols_out, self.queue.dropped,
             )
 
     async def put(self, buf: np.ndarray):
@@ -228,8 +253,9 @@ class RxSession:
         if self.demod_dump and not self.demod_dump.closed:
             self.demod_dump.close()
         log.info(
-            "[%d] dsp_worker stopped (%d samples in, %d symbols out)",
-            self.id, self.samples_in, self.symbols_out,
+            "[%d] dsp_worker stopped (%d samples in, %d symbols out, "
+            "%d clock overflows)",
+            self.id, self.samples_in, self.symbols_out, self.overflow_events,
         )
 
     async def stop(self):
@@ -257,10 +283,11 @@ class BatchedRxGroup:
 
         self.fsk_config = fsk_config
         self.block = block
-        # arctan2 instead of the reference's atan LUT: the LUT lerp is a
-        # gather (~25x the whole step's cost on this TPU backend); the
-        # difference is ~1e-5 rad, far inside the +-2 LSB output policy
-        self.pipe = DemodPipeline(fsk_config, block, exact=False, use_atan_lut=False)
+        # "free": gather-free evaluation of the reference's atan LUT —
+        # same piecewise-linear function (table entries recomputed on the
+        # fly, <=2 ulp), no gather (gathers are ~25x the whole step's cost
+        # on this TPU backend).  See dsp/elementwise.fast_atan2_free.
+        self.pipe = DemodPipeline(fsk_config, block, exact=False, use_atan_lut="free")
         self._step = self.pipe.make_batched_step_full("pallas", doppler=True)
         # device-side Doppler: S piecewise-linear phase rows per block
         # (host keeps the 1 Hz SGP4 bookkeeping; Doppler.device_segments)
@@ -277,6 +304,9 @@ class BatchedRxGroup:
         self.acc = np.zeros(block, np.complex64)
         self.fill = 0
         self._jnp = jnp
+        # per-lane clock-overflow totals as of the previous step, to turn
+        # the device's cumulative counter into per-step deltas
+        self._overflow_prev = np.zeros(self.LANES, np.float32)
 
     def has_space(self) -> bool:
         return len(self.lanes) < self.LANES
@@ -335,6 +365,7 @@ class BatchedRxGroup:
         # no step can be mid-flight here
         for lane in self._pending_resets:
             self._reset_lane(lane)
+            self._overflow_prev[lane] = 0.0
         self._pending_resets.clear()
         sessions = {
             lane: s for lane, s in self.lanes.items() if not s.finished.is_set()
@@ -354,7 +385,7 @@ class BatchedRxGroup:
         for lane, s in sessions.items():
             x[lane, 0] = self.acc.real
             x[lane, 1] = self.acc.imag
-            s.samples_in += self.block
+            s.note_progress(self.block)
             if s.doppler is not None:
                 for k, (st, ln, adj, ph0) in enumerate(
                     s.doppler.device_segments(self.block, +1)
@@ -363,9 +394,24 @@ class BatchedRxGroup:
                     ends[k, lane] = st + ln
                     adjs[k, lane] = adj
                     ph0s[k, lane] = ph0
-        self.state, symbols, counts = await asyncio.to_thread(
+        self.state, symbols, counts, overflow = await asyncio.to_thread(
             self._step_host, x, (starts, ends, adjs, ph0s)
         )
+        # clock-kernel healed overflows: the device counter is cumulative
+        # per lane; surface per-step deltas to the owning session (the
+        # chunk was transparently re-run on the full window, so output is
+        # correct — but repeated overflows signal an out-of-contract
+        # client config worth flagging)
+        deltas = overflow - self._overflow_prev
+        self._overflow_prev = overflow
+        for lane, s in sessions.items():
+            if deltas[lane] > 0:
+                s.overflow_events += int(deltas[lane])
+                log.warning(
+                    "[%d] clock-recovery window overflow healed (%d chunks "
+                    "re-run; %d total for this session)",
+                    s.id, int(deltas[lane]), s.overflow_events,
+                )
         # symbols: (C, n_chunks, K_c) with per-(lane, chunk) valid counts
         for lane, s in sessions.items():
             parts = [
@@ -380,7 +426,10 @@ class BatchedRxGroup:
         state, symbols, counts = self._step(
             self.state, self._jnp.asarray(x), tuple(map(self._jnp.asarray, dop))
         )
-        return state, np.asarray(symbols), np.asarray(counts)
+        # np.array (copy): jax-backed views are read-only and _overflow_prev
+        # is written in place on lane resets
+        overflow = np.array(state.clock.overflow[: self.LANES], np.float32)
+        return state, np.asarray(symbols), np.asarray(counts), overflow
 
 
 class SdrStream:

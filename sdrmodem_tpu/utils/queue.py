@@ -25,6 +25,7 @@ class BufferQueue:
         self.blocking = blocking
         self._q: asyncio.Queue = asyncio.Queue(maxsize=self.capacity)
         self._interrupted = False
+        self.dropped = 0  # lossy-mode overwrites (queue.c logs "queue is full")
 
     async def put(self, buffer: np.ndarray) -> None:
         if self._interrupted:
@@ -34,7 +35,8 @@ class BufferQueue:
             return
         # lossy: overwrite the most recently queued buffer when full
         if self._q.full():
-            log.warning("queue is full")
+            self.dropped += 1
+            log.warning("queue is full (%d buffers dropped)", self.dropped)
             try:
                 # drop the newest element (the last one put), keep order of
                 # the older ones — mirror of queue.c:124-128

@@ -182,3 +182,43 @@ def test_nco_negative_freq():
     expected = ref.process(-3000, 1000)
     out, _ = nco_stream(-3000, 1000, 48000)
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-3)
+
+
+def test_fast_atan2_free_matches_lut():
+    """Gather-free LUT evaluation tracks the table LUT to float32 noise."""
+    from sdrmodem_tpu.dsp.elementwise import fast_atan2_free
+
+    y = np.concatenate(
+        [RNG.standard_normal(5000), [0.0, 1.0, -1.0, 0.0, 1e-30, np.nan]]
+    ).astype(np.float32)
+    x = np.concatenate(
+        [RNG.standard_normal(5000), [0.0, 0.0, 0.0, -2.0, 1e-30, np.nan]]
+    ).astype(np.float32)
+    lut = np.asarray(fast_atan2(jnp.asarray(y), jnp.asarray(x)))
+    free = np.asarray(fast_atan2_free(jnp.asarray(y), jnp.asarray(x)))
+    # recomputed atan(k/255) vs the stored f32 table entry: <=2 ulp each
+    assert np.abs(free - lut).max() < 5e-7
+    assert float(fast_atan2_free(jnp.float32(0), jnp.float32(0))) == 0.0
+    assert float(fast_atan2_free(jnp.float32(np.nan), jnp.float32(np.nan))) == 0.0
+
+
+def test_freq_mod_pair_fast_matches_exact():
+    """Two-level f32 prefix VCO == f64 parity VCO within f32 phase noise,
+    including chunked phase continuity."""
+    from sdrmodem_tpu.dsp.elementwise import freq_mod_pair_fast, freq_mod_stream_pair
+
+    x = RNG.standard_normal(10_000).astype(np.float32)
+    ie, qe, pe = freq_mod_stream_pair(jnp.asarray(x), 1.636, exact=True)
+    i1, q1, p1 = freq_mod_pair_fast(jnp.asarray(x[:4096]), 1.636)
+    i2, q2, p2 = freq_mod_pair_fast(jnp.asarray(x[4096:]), 1.636, p1)
+    i = np.concatenate([np.asarray(i1), np.asarray(i2)])
+    q = np.concatenate([np.asarray(q1), np.asarray(q2)])
+    np.testing.assert_allclose(i, np.asarray(ie), atol=5e-4)
+    np.testing.assert_allclose(q, np.asarray(qe), atol=5e-4)
+    assert abs(float(p2) - float(pe)) < 1e-3
+    # batched lanes too (the server TX shape)
+    xb = RNG.standard_normal((3, 2048)).astype(np.float32)
+    ib, qb, pb = freq_mod_pair_fast(jnp.asarray(xb), 0.7)
+    ieb, qeb, peb = freq_mod_stream_pair(jnp.asarray(xb), 0.7, exact=True)
+    np.testing.assert_allclose(np.asarray(ib), np.asarray(ieb), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(peb), atol=1e-3)

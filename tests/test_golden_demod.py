@@ -122,3 +122,17 @@ def test_ber_with_frequency_offset():
 
     ber, _ = ber_sweep.run_point(14.0, 200.0, 512, seed=2)
     assert ber < 0.01  # DC blocker absorbs a small carrier offset
+
+
+def test_gfsk_mod_pair_fast_golden(reference_dir):
+    """The production (two-level f32 VCO) TX pair path matches the
+    reference's 320-float golden within the complex tolerance (0.01,
+    reference test/utils.c:134-140)."""
+    src = (reference_dir / "test" / "test_gfsk_mod.c").read_text()
+    m = re.search(r"expected\[320\] = \{(.*?)\};", src, re.S)
+    vals = np.array([float(v.strip().rstrip("F")) for v in m.group(1).split(",")], np.float32)
+
+    cfg = GfskModConfig.from_radio(19200, 9600, 5000)
+    i, q, _ = GfskModulator(cfg).process_pair(jnp.asarray(np.arange(10, dtype=np.uint8)))
+    assert np.abs(np.asarray(i) - vals[0::2]).max() < 0.01
+    assert np.abs(np.asarray(q) - vals[1::2]).max() < 0.01

@@ -381,11 +381,15 @@ def test_fast_lane_attach_race_gets_fresh_state(tmp_path):
     class Stub:
         doppler = None
         samples_in = 0
+        overflow_events = 0
         group = None
         lane = -1
 
         def __init__(self):
             self.finished = asyncio.Event()
+
+        def note_progress(self, n):
+            self.samples_in += n
 
         async def emit(self, symbols):
             pass
@@ -504,3 +508,43 @@ def test_rx_stream_demod_fast_mode(tmp_path, resources_dir):
         await server.stop()
 
     run(body())
+
+
+def test_observability_counters(tmp_path):
+    """SURVEY §5: running samples/s log lines, queue-drop and overflow
+    counters on the session."""
+    import logging
+
+    from sdrmodem_tpu.utils.queue import BufferQueue
+
+    async def body():
+        # lossy queue counts overwrites
+        q = BufferQueue(2, blocking=False)
+        for k in range(5):
+            await q.put(np.zeros(4, np.complex64))
+        assert q.dropped == 3
+
+        # session rate logging: force the interval to 0 so one call logs
+        from sdrmodem_tpu.server import session as session_mod
+
+        req = rx_request()
+        cfg = make_config(tmp_path)
+        sess = session_mod.RxSession(7, req, cfg, writer=None)
+        sess._rate_interval = 0.0
+        records = []
+        handler = logging.Handler()
+        handler.emit = lambda r: records.append(r.getMessage())
+        session_mod.log.addHandler(handler)
+        old_level = session_mod.log.level
+        session_mod.log.setLevel(logging.INFO)
+        try:
+            sess.note_progress(48000)
+            sess.note_progress(48000)
+        finally:
+            session_mod.log.removeHandler(handler)
+            session_mod.log.setLevel(old_level)
+        assert sess.samples_in == 96000
+        assert any("rx rate" in m and "queue drops" in m for m in records)
+        await sess.stop()
+
+    asyncio.run(body())

@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""On-device golden-parity artifact: replay the reference's demod fixtures
+through the PRODUCTION full-block TPU path and record per-fixture numbers.
+
+The reference's acceptance bound is int8 soft symbols within +-2 LSB of the
+recorded goldens (/root/reference/test/test_fsk_demod.c:43-48, tolerance in
+test/utils.c:156-161).  This tool measures, on whatever device JAX is
+running on (the real TPU in production), for each fixture:
+
+- max_lsb_diff      — max |got - golden| over all symbols
+- mismatch_rate     — fraction of symbols with any difference
+- beyond_tol_rate   — fraction beyond the reference's +-2 LSB bound
+
+Usage: python3 tools/parity.py [--block 16384] [--out PARITY_TPU.json]
+       (add --cpu to force the CPU backend for a local sanity run)
+
+The production path here is exactly the server fast mode: DemodPipeline
+make_batched_step_full with the Pallas clock kernel, float32 banded-matmul
+FIRs and the gather-free LUT arctangent (use_atan_lut="free").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+RESOURCES = pathlib.Path("/root/reference/test/resources")
+
+# (name, config args, input fixture, golden fixture) — mirrors
+# /root/reference/test/test_fsk_demod.c:52-80
+CASES = [
+    ("lucky7", (48000, 4800, 5000, 2, 2000, True), "lucky7.expected.cf32", "lucky7.expected.s8"),
+    ("lucky7_nodc", (48000, 4800, 5000, 2, 2000, False), "lucky7.expected.cf32", "lucky7.expected.nodc.s8"),
+    ("nusat", (192000, 40000, 5000, 1, 2000, True), "nusat.cf32", "processed.s8"),
+    ("nan", (240000, 9600, 5000, 1, 2000, True), "inputnan.cf32", "nan.s8"),
+]
+
+
+def replay_fixture(cfg_args, fin: str, fexp: str, block: int):
+    """Run one fixture through the production full-block batched step.
+
+    Returns (max_lsb_diff, mismatch_rate, beyond_tol_rate, n_symbols).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig
+    from sdrmodem_tpu.dsp.pipeline import DemodPipeline
+
+    cfg = FskDemodConfig(*cfg_args)
+    iq = np.fromfile(RESOURCES / fin, dtype=np.complex64)
+    golden = np.fromfile(RESOURCES / fexp, dtype=np.int8)
+
+    d = cfg.decimation
+    blk = -(-block // d) * d
+    pipe = DemodPipeline(cfg, blk, exact=False, use_atan_lut="free")
+    backend = "pallas" if jax.devices()[0].platform != "cpu" else "scan"
+    step = pipe.make_batched_step_full(backend)
+    state = pipe.init_full_state(1)
+
+    n = len(iq)
+    padded = np.zeros(-(-n // blk) * blk, np.complex64)
+    padded[:n] = iq
+    out = []
+    for start in range(0, len(padded), blk):
+        chunk = padded[start : start + blk]
+        x = np.stack([chunk.real, chunk.imag])[None, :, :].astype(np.float32)  # (1, 2, blk)
+        state, symbols, counts = step(state, jnp.asarray(x))
+        # outs are (C, n_chunks, K) with per-chunk valid counts (C, n_chunks)
+        sym = np.asarray(symbols)[0]
+        for k, c in enumerate(np.asarray(counts)[0]):
+            if c:
+                out.append(sym[k, : int(c)])
+    got = np.concatenate(out) if out else np.zeros(0, np.int8)
+    # trailing zero-padding emits extra symbols; the golden prefix is causal
+    m = min(len(got), len(golden))
+    diff = np.abs(got[:m].astype(np.int32) - golden[:m].astype(np.int32))
+    short = len(golden) - m  # symbols the replay failed to produce (0 expected)
+    return {
+        "n_symbols": int(len(golden)),
+        "produced": int(len(got)),
+        "missing": int(short),
+        "max_lsb_diff": int(diff.max()) if m else -1,
+        "mismatch_rate": float((diff != 0).mean()) if m else 1.0,
+        "beyond_tol_rate": float((diff > 2).mean()) if m else 1.0,
+    }
+
+
+def run(block: int = 16384, cases=CASES, names=None):
+    import jax
+
+    results = {}
+    if names:
+        cases = [c for c in cases if c[0] in names]
+    for name, cfg_args, fin, fexp in cases:
+        t0 = time.time()
+        results[name] = replay_fixture(cfg_args, fin, fexp, block)
+        results[name]["seconds"] = round(time.time() - t0, 2)
+    return {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "tolerance_lsb": 2,
+        "block": block,
+        "fixtures": results,
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--block", type=int, default=16384)
+    parser.add_argument("--out", default=None)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--cases", default=None, help="comma-separated fixture names")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    report = run(args.block, names=args.cases.split(",") if args.cases else None)
+    text = json.dumps(report, indent=2)
+    print(text)
+    if args.out:
+        pathlib.Path(args.out).write_text(text + "\n")
+
+
+if __name__ == "__main__":
+    main()

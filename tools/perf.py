@@ -60,7 +60,7 @@ def main():
           f"({outb_samples/modb_dt/1e6:.1f} Msamples/s produced, batched)")
 
     # --- fsk_demod
-    pipe = DemodPipeline(FskDemodConfig(48000, 4800, 5000, 2, 2000, True), 4096, exact=False, use_atan_lut=False)
+    pipe = DemodPipeline(FskDemodConfig(48000, 4800, 5000, 2, 2000, True), 4096, exact=False, use_atan_lut="free")
     iq = rng.standard_normal((2, 4096)).astype(np.float32)
     x = jnp.asarray(iq)
     n = jnp.int32(4096)
@@ -83,7 +83,7 @@ def main():
     channels, block, iters = 128, 65536, 6
     pipef = DemodPipeline(
         FskDemodConfig(48000, 4800, 5000, 2, 2000, True), block, exact=False,
-        use_atan_lut=False,  # LUT lerp = gather, ~25x the step cost on TPU
+        use_atan_lut="free",  # gather-free LUT: reference semantics at VPU cost
     )
     stepf = pipef.make_batched_step_full(
         "pallas" if jax.devices()[0].platform != "cpu" else "scan"

@@ -36,7 +36,7 @@ def main(argv=None):
     from sdrmodem_tpu.dsp.pipeline import DemodPipeline
 
     cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
-    pipe = DemodPipeline(cfg, args.block, exact=False, use_atan_lut=False)
+    pipe = DemodPipeline(cfg, args.block, exact=False, use_atan_lut="free")
     step = pipe.make_batched_step_full(
         "pallas" if jax.devices()[0].platform != "cpu" else "scan"
     )
