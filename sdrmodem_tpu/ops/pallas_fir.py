@@ -32,6 +32,22 @@ LANES = 128
 TILE_R = 128  # output rows per grid step of the banded-matmul kernel
 
 
+def _default_precision():
+    """FIR matmul precision (SDRM_FIR_PRECISION=highest|default).
+
+    highest (default): float32-exact multi-pass — matches the golden
+    fixtures to <=1 LSB on the real chip at a ~35% throughput cost (the
+    kernel is grid/memory-bound, not MXU-bound).  default: single bf16
+    pass — fast but puts a ~-34 dB error floor on the signal; kept only
+    as a measurement point.  (Mosaic does not lower Precision.HIGH.)"""
+    import os
+
+    name = os.environ.get("SDRM_FIR_PRECISION", "highest").lower()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+    }.get(name, jax.lax.Precision.HIGHEST)
+
+
 def _banded_tm_kernel(*refs, k_shift: int, precision):
     """out = sum_s W[:, s*128:(s+1)*128] @ x_blocks[s] — one output tile.
 
@@ -119,7 +135,7 @@ def conv1d_banded_tm(
     )
 
     if precision is None:
-        precision = jax.lax.Precision.HIGHEST
+        precision = _default_precision()
     with jax.enable_x64(False):
         out = pl.pallas_call(
             functools.partial(_banded_tm_kernel, k_shift=k_shift, precision=precision),

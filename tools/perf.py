@@ -7,9 +7,13 @@
 Run with default platform (TPU if available) or JAX_PLATFORMS=cpu.
 """
 
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main():

@@ -13,6 +13,10 @@ Usage: python3 tools/trace.py [--out /tmp/sdrm-trace] [--block 65536]
 from __future__ import annotations
 
 import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main(argv=None):
