@@ -24,6 +24,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _xla_fir_precision():
+    """XLA-path FIR matmul precision, same knob as ops/pallas_fir.py.
+
+    The TPU MXU's single-bf16-pass default leaves a ~-34 dB error floor
+    on the filtered signal.  XLA (unlike Mosaic) lowers Precision.HIGH
+    (3 bf16 passes, ~f32-grade for this dynamic range), so the bf16x3
+    default maps to HIGH here; "highest" keeps the 6-pass exact product.
+    """
+    import os
+
+    name = os.environ.get("SDRM_FIR_PRECISION", "bf16x3").lower()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST,
+    }.get(name, jax.lax.Precision.HIGH)
+
+
 def conv1d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -117,11 +134,9 @@ def conv1d_banded(
     # one dense (tile_out, lpad) @ (lpad, g*b) matmul: tiles stacked along
     # the column dimension keep the MXU at full width regardless of g
     cols = jnp.transpose(frames, (1, 0, 2)).reshape(lpad, g * b)
-    # HIGHEST: the TPU MXU's default single bf16 pass leaves a ~-34 dB
-    # error floor on the filtered signal (see ops/pallas_fir.py)
     out2d = jnp.dot(
         jnp.asarray(wmat), cols, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_xla_fir_precision(),
     )
     out = out2d.reshape(tile_out, g, b).transpose(1, 0, 2)
     return out.reshape(g * tile_out, b)[:max_out].T

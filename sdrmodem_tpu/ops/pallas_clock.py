@@ -169,10 +169,16 @@ def _mm_kernel(
 
     # window-size ladder: per-symbol cost is proportional to the window
     # rows, so pick the smallest static size covering the current lane
-    # spread.  SUB covers lanes within ~56 rows (clustered lanes — shared
-    # streams / fan-out), MID absorbs moderate divergence (independent
-    # signals whose omegas random-walk apart), tile is the provable bound.
-    sizes = [s for s in (SUB, 4 * SUB) if s < tile] + [tile]
+    # spread.  The first rung is the lockstep minimum (span_budget + the
+    # 8-row offset alignment slack, rounded up to 8 rows): lanes replaying
+    # the SAME stream — fan-out clients of one SDR connection, and the
+    # throughput bench — keep identical positions and never need more.
+    # SUB covers lanes within ~56 rows (clustered lanes), MID absorbs
+    # moderate divergence (independent signals whose omegas random-walk
+    # apart), tile is the provable bound.
+    s_min = -(-(span_budget + 8) // 8) * 8
+    sizes = [s for s in (s_min, SUB, 4 * SUB) if s < tile] + [tile]
+    sizes = sorted(set(sizes))
     rows_by_size = {
         s: jax.lax.broadcasted_iota(jnp.int32, (s, c), 0) for s in sizes
     }

@@ -33,19 +33,32 @@ TILE_R = 128  # output rows per grid step of the banded-matmul kernel
 
 
 def _default_precision():
-    """FIR matmul precision (SDRM_FIR_PRECISION=highest|default).
+    """FIR matmul precision (SDRM_FIR_PRECISION=bf16x3|highest|default).
 
-    highest (default): float32-exact multi-pass — matches the golden
-    fixtures to <=1 LSB on the real chip at a ~35% throughput cost (the
-    kernel is grid/memory-bound, not MXU-bound).  default: single bf16
-    pass — fast but puts a ~-34 dB error floor on the signal; kept only
-    as a measurement point.  (Mosaic does not lower Precision.HIGH.)"""
+    bf16x3 (default): 3-pass hi/lo bfloat16 split-accumulate — ~16
+    effective mantissa bits, half the MXU passes of HIGHEST (6), and
+    still ≤1 LSB on the golden fixtures (the bf16x3 residual sits ~-95 dB
+    below the signal vs the ±2 LSB bound's ~-42 dB).  highest:
+    float32-exact multi-pass, the deterministic-parity reference point.
+    default: single bf16 pass — fast but puts a ~-34 dB error floor on
+    the signal (measured 1.9% RMS front-end error on v5e, enough to slip
+    the downstream M&M symbol clock off the goldens); kept only as a
+    measurement point.  (Mosaic does not lower Precision.HIGH, hence the
+    hand-rolled split.)"""
     import os
 
-    name = os.environ.get("SDRM_FIR_PRECISION", "highest").lower()
+    name = os.environ.get("SDRM_FIR_PRECISION", "bf16x3").lower()
     return {
         "default": jax.lax.Precision.DEFAULT,
-    }.get(name, jax.lax.Precision.HIGHEST)
+        "highest": jax.lax.Precision.HIGHEST,
+    }.get(name, "bf16x3")
+
+
+def _split_bf16(v: jnp.ndarray):
+    """v ≈ hi + lo with both parts bfloat16 (top 8 + next 8 mantissa bits)."""
+    hi = v.astype(jnp.bfloat16)
+    lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def _banded_tm_kernel(*refs, k_shift: int, precision):
@@ -53,14 +66,25 @@ def _banded_tm_kernel(*refs, k_shift: int, precision):
 
     ``precision`` matters: the MXU multiplies in bfloat16 passes, and the
     default single pass (~8 mantissa bits) puts a ~-34 dB error floor on
-    the filtered signal — measured 1.9% RMS front-end error on v5e, enough
-    to slip the downstream M&M symbol clock off the golden fixtures.
-    HIGHEST (float32-exact multi-pass) restores CPU-grade numerics; the
-    kernel is grid/memory-bound, not MXU-bound, so the extra passes are
-    nearly free at these tap counts."""
+    the filtered signal — enough to slip the downstream M&M symbol clock
+    off the golden fixtures.  Two f32-grade options: HIGHEST (XLA's
+    6-pass exact product) and the hand-rolled "bf16x3" split-accumulate
+    (Wh@Xh + Wh@Xl + Wl@Xh with f32 MXU accumulation; the dropped Wl@Xl
+    term is ~2^-18 relative).  bf16x3 halves the MXU passes and is the
+    production default."""
     w_ref = refs[k_shift]
     out_ref = refs[k_shift + 1]
     acc = jnp.zeros(out_ref.shape, jnp.float32)
+    if precision == "bf16x3":
+        w_hi, w_lo = _split_bf16(w_ref[:, :])
+        for s in range(k_shift):
+            x_hi, x_lo = _split_bf16(refs[s][:, :])
+            wh = w_hi[:, s * TILE_R : (s + 1) * TILE_R]
+            wl = w_lo[:, s * TILE_R : (s + 1) * TILE_R]
+            dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+            acc = acc + dot(wh, x_hi) + dot(wh, x_lo) + dot(wl, x_hi)
+        out_ref[:, :] = acc
+        return
     for s in range(k_shift):
         acc = acc + jnp.dot(
             w_ref[:, s * TILE_R : (s + 1) * TILE_R],

@@ -120,14 +120,39 @@ def _iter_fields(data: bytes):
             value = data[pos : pos + ln]
             pos += ln
         elif wt == 5:
+            if pos + 4 > len(data):
+                raise WireError("truncated 32-bit field")
             value = data[pos : pos + 4]
             pos += 4
         elif wt == 1:
+            if pos + 8 > len(data):
+                raise WireError("truncated 64-bit field")
             value = data[pos : pos + 8]
             pos += 8
         else:
             raise WireError(f"unsupported wire type {wt}")
         yield num, wt, value
+
+
+def _need_int(wt: int, v) -> int:
+    """Enforce varint wire type — a mistyped field must be a WireError, not
+    a TypeError deep inside a nested decode (found by decoder fuzzing)."""
+    if wt != 0:
+        raise WireError(f"expected varint field, got wire type {wt}")
+    return v
+
+
+def _need_bytes(wt: int, v) -> bytes:
+    if wt != 2:
+        raise WireError(f"expected length-delimited field, got wire type {wt}")
+    return v
+
+
+def _need_str(wt: int, v) -> str:
+    try:
+        return _need_bytes(wt, v).decode()
+    except UnicodeDecodeError as e:
+        raise WireError(f"invalid UTF-8 in string field: {e}") from e
 
 
 # ----------------------------------------------------------------------
@@ -150,15 +175,15 @@ class DopplerSettings:
     @classmethod
     def decode(cls, data: bytes) -> "DopplerSettings":
         msg = cls()
-        for num, _wt, v in _iter_fields(data):
+        for num, wt, v in _iter_fields(data):
             if num == 1:
-                msg.tle.append(v.decode())
+                msg.tle.append(_need_str(wt, v))
             elif num == 2:
-                msg.latitude = v
+                msg.latitude = _need_int(wt, v)
             elif num == 3:
-                msg.longitude = v
+                msg.longitude = _need_int(wt, v)
             elif num == 4:
-                msg.altitude = v
+                msg.altitude = _need_int(wt, v)
         return msg
 
 
@@ -178,13 +203,13 @@ class FskDemodulationSettings:
     @classmethod
     def decode(cls, data: bytes) -> "FskDemodulationSettings":
         msg = cls()
-        for num, _wt, v in _iter_fields(data):
+        for num, wt, v in _iter_fields(data):
             if num == 1:
-                msg.demod_fsk_deviation = _signed64(v)
+                msg.demod_fsk_deviation = _signed64(_need_int(wt, v))
             elif num == 2:
-                msg.demod_fsk_transition_width = v
+                msg.demod_fsk_transition_width = _need_int(wt, v)
             elif num == 3:
-                msg.demod_fsk_use_dc_block = bool(v)
+                msg.demod_fsk_use_dc_block = bool(_need_int(wt, v))
         return msg
 
 
@@ -198,9 +223,9 @@ class FskModulationSettings:
     @classmethod
     def decode(cls, data: bytes) -> "FskModulationSettings":
         msg = cls()
-        for num, _wt, v in _iter_fields(data):
+        for num, wt, v in _iter_fields(data):
             if num == 1:
-                msg.mod_fsk_deviation = _signed64(v)
+                msg.mod_fsk_deviation = _signed64(_need_int(wt, v))
         return msg
 
 
@@ -217,11 +242,11 @@ class FileSettings:
     @classmethod
     def decode(cls, data: bytes) -> "FileSettings":
         msg = cls()
-        for num, _wt, v in _iter_fields(data):
+        for num, wt, v in _iter_fields(data):
             if num == 1:
-                msg.filename = v.decode()
+                msg.filename = _need_str(wt, v)
             elif num == 2:
-                msg.start_time_seconds = v
+                msg.start_time_seconds = _need_int(wt, v)
         return msg
 
 
@@ -259,29 +284,29 @@ class RxRequest:
     @classmethod
     def decode(cls, data: bytes) -> "RxRequest":
         msg = cls()
-        for num, _wt, v in _iter_fields(data):
+        for num, wt, v in _iter_fields(data):
             if num == 1:
-                msg.rx_center_freq = v
+                msg.rx_center_freq = _need_int(wt, v)
             elif num == 2:
-                msg.rx_sampling_freq = v
+                msg.rx_sampling_freq = _need_int(wt, v)
             elif num == 3:
-                msg.rx_dump_file = bool(v)
+                msg.rx_dump_file = bool(_need_int(wt, v))
             elif num == 4:
-                msg.rx_offset = _signed64(v)
+                msg.rx_offset = _signed64(_need_int(wt, v))
             elif num == 5:
-                msg.demod_type = v
+                msg.demod_type = _need_int(wt, v)
             elif num == 6:
-                msg.demod_baud_rate = v
+                msg.demod_baud_rate = _need_int(wt, v)
             elif num == 7:
-                msg.demod_decimation = v
+                msg.demod_decimation = _need_int(wt, v)
             elif num == 8:
-                msg.demod_destination = v
+                msg.demod_destination = _need_int(wt, v)
             elif num == 9:
-                msg.doppler = DopplerSettings.decode(v)
+                msg.doppler = DopplerSettings.decode(_need_bytes(wt, v))
             elif num == 10:
-                msg.fsk_settings = FskDemodulationSettings.decode(v)
+                msg.fsk_settings = FskDemodulationSettings.decode(_need_bytes(wt, v))
             elif num == 11:
-                msg.file_settings = FileSettings.decode(v)
+                msg.file_settings = FileSettings.decode(_need_bytes(wt, v))
         return msg
 
 
@@ -315,25 +340,25 @@ class TxRequest:
     @classmethod
     def decode(cls, data: bytes) -> "TxRequest":
         msg = cls()
-        for num, _wt, v in _iter_fields(data):
+        for num, wt, v in _iter_fields(data):
             if num == 1:
-                msg.tx_center_freq = v
+                msg.tx_center_freq = _need_int(wt, v)
             elif num == 2:
-                msg.tx_sampling_freq = v
+                msg.tx_sampling_freq = _need_int(wt, v)
             elif num == 3:
-                msg.tx_dump_file = bool(v)
+                msg.tx_dump_file = bool(_need_int(wt, v))
             elif num == 4:
-                msg.tx_offset = _signed64(v)
+                msg.tx_offset = _signed64(_need_int(wt, v))
             elif num == 5:
-                msg.mod_type = v
+                msg.mod_type = _need_int(wt, v)
             elif num == 6:
-                msg.mod_baud_rate = v
+                msg.mod_baud_rate = _need_int(wt, v)
             elif num == 7:
-                msg.doppler = DopplerSettings.decode(v)
+                msg.doppler = DopplerSettings.decode(_need_bytes(wt, v))
             elif num == 8:
-                msg.fsk_settings = FskModulationSettings.decode(v)
+                msg.fsk_settings = FskModulationSettings.decode(_need_bytes(wt, v))
             elif num == 9:
-                msg.file_settings = FileSettings.decode(v)
+                msg.file_settings = FileSettings.decode(_need_bytes(wt, v))
         return msg
 
 
@@ -348,11 +373,11 @@ class Response:
     @classmethod
     def decode(cls, data: bytes) -> "Response":
         msg = cls()
-        for num, _wt, v in _iter_fields(data):
+        for num, wt, v in _iter_fields(data):
             if num == 1:
-                msg.status = v
+                msg.status = _need_int(wt, v)
             elif num == 2:
-                msg.details = v
+                msg.details = _need_int(wt, v)
         return msg
 
 
@@ -366,9 +391,9 @@ class TxData:
     @classmethod
     def decode(cls, data: bytes) -> "TxData":
         msg = cls()
-        for num, _wt, v in _iter_fields(data):
+        for num, wt, v in _iter_fields(data):
             if num == 1:
-                msg.data = bytes(v)
+                msg.data = bytes(_need_bytes(wt, v))
         return msg
 
 

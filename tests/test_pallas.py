@@ -167,3 +167,31 @@ def test_batched_pipeline_pallas_backend_golden(resources_dir):
     got = np.concatenate(out)
     diff = np.abs(got.astype(np.int32) - golden[: len(got)].astype(np.int32))
     assert diff.max() <= 2
+
+
+def test_banded_tm_bf16x3_matches_exact():
+    """The production bf16x3 split-accumulate (3 MXU passes) must stay far
+    inside the golden budget: ±2 LSB on int8 needs ~-42 dB; the hi/lo
+    bfloat16 split's dropped Wl@Xl term sits below -100 dB."""
+    import jax
+
+    from sdrmodem_tpu.ops.pallas_fir import conv1d_banded_tm
+
+    taps = T.low_pass_taps(1.0, 48000, 7400, 740)
+    rev = np.asarray(taps, np.float32)[::-1].copy()
+    x = RNG.standard_normal((4096, 128)).astype(np.float32)
+    n_out = 4096 - len(rev) + 1
+    exact = np.asarray(
+        conv1d_banded_tm(
+            jnp.asarray(x), rev, 1, n_out, interpret=True,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+    tri = np.asarray(
+        conv1d_banded_tm(
+            jnp.asarray(x), rev, 1, n_out, interpret=True, precision="bf16x3"
+        )
+    )
+    sig = np.sqrt((exact**2).mean())
+    err = np.sqrt(((tri - exact) ** 2).mean())
+    assert err / sig < 3e-5  # < -90 dB relative error floor

@@ -96,3 +96,79 @@ def test_interop_with_protoc(api_pb2):
     reftx = api_pb2.TxRequest()
     reftx.ParseFromString(tx.encode())
     assert reftx.fsk_settings.mod_fsk_deviation == 5000
+
+
+def test_fuzz_roundtrip_random_messages():
+    """Randomized encode->decode round-trip over the full field ranges
+    (incl. int64 sign boundaries and junk-resilient decode of unknown
+    trailing fields — proto2 forward compatibility)."""
+    import numpy as np
+
+    from sdrmodem_tpu.server import wire as W
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        rx = W.RxRequest(
+            rx_center_freq=int(rng.integers(0, 1 << 63)),
+            rx_sampling_freq=int(rng.integers(0, 1 << 32)),
+            rx_dump_file=bool(rng.integers(0, 2)),
+            rx_offset=int(rng.integers(-(1 << 62), 1 << 62)),
+            demod_type=W.ModemType.GMSK,
+            demod_baud_rate=int(rng.integers(1, 1 << 31)),
+            demod_decimation=int(rng.integers(1, 256)),
+            demod_destination=W.DemodDestination(int(rng.integers(0, 3))),
+            doppler=(
+                W.DopplerSettings(
+                    tle=["x" * int(rng.integers(0, 70)), "y", "z"],
+                    latitude=int(rng.integers(0, 1 << 31)),
+                    longitude=int(rng.integers(0, 1 << 31)),
+                    altitude=int(rng.integers(0, 1 << 31)),
+                )
+                if rng.integers(0, 2)
+                else None
+            ),
+            fsk_settings=W.FskDemodulationSettings(
+                demod_fsk_deviation=int(rng.integers(-(1 << 40), 1 << 40)),
+                demod_fsk_transition_width=int(rng.integers(0, 1 << 31)),
+                demod_fsk_use_dc_block=bool(rng.integers(0, 2)),
+            ),
+        )
+        assert W.RxRequest.decode(rx.encode()) == rx
+
+        tx = W.TxRequest(
+            tx_center_freq=int(rng.integers(0, 1 << 63)),
+            tx_sampling_freq=int(rng.integers(0, 1 << 32)),
+            tx_dump_file=bool(rng.integers(0, 2)),
+            tx_offset=int(rng.integers(-(1 << 62), 1 << 62)),
+            mod_type=W.ModemType.GMSK,
+            mod_baud_rate=int(rng.integers(1, 1 << 31)),
+            fsk_settings=W.FskModulationSettings(
+                mod_fsk_deviation=int(rng.integers(-(1 << 40), 1 << 40))
+            ),
+        )
+        assert W.TxRequest.decode(tx.encode()) == tx
+
+        data = rng.integers(0, 256, int(rng.integers(0, 2048))).astype(np.uint8)
+        td = W.TxData(data=bytes(data.tobytes()))
+        assert W.TxData.decode(td.encode()) == td
+
+    # unknown trailing field (num 15, varint) must be skipped, not fatal
+    resp = W.Response(status=W.ResponseStatus.SUCCESS, details=3)
+    blob = resp.encode() + W._field_varint(15, 42)
+    assert W.Response.decode(blob) == resp
+
+
+def test_fuzz_decode_garbage_raises_not_crashes():
+    """Arbitrary byte blobs must raise WireError (or parse), never crash."""
+    import numpy as np
+
+    from sdrmodem_tpu.server import wire as W
+
+    rng = np.random.default_rng(11)
+    for _ in range(300):
+        blob = bytes(rng.integers(0, 256, int(rng.integers(0, 64))).astype(np.uint8))
+        for msg in (W.RxRequest, W.TxRequest, W.Response, W.TxData):
+            try:
+                msg.decode(blob)
+            except W.WireError:
+                pass
