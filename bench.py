@@ -65,13 +65,20 @@ def main() -> None:
     reps = int(np.ceil(channels * block / len(iq)))
     tiled = np.tile(iq, reps)[: channels * block].reshape(channels, block)
     x = np.stack([tiled.real, tiled.imag], axis=1).astype(np.float32)  # (C, 2, B)
+    # layout: "cm" (default) feeds (C,2,B) and the step transposes on
+    # device; "tm" stages the time-major (B, 2C) layout host-side (what a
+    # deployment that owns its staging does — the server's fanout path has
+    # no transpose at all) and the step runs re-layout-free
+    layout = os.environ.get("SDRM_BENCH_LAYOUT", "cm")
+    if layout == "tm" and mode == "full":
+        x = np.concatenate([tiled.real.T, tiled.imag.T], axis=1).astype(np.float32)
     x = jnp.asarray(x)
     n_valid = jnp.full((channels,), block, jnp.int32)
 
     if mode == "full":
         # full-block fast path: static history lengths, suffix-carried
         # clock state — no ragged bookkeeping on the hot path
-        step_full = pipe.make_batched_step_full(clock_backend)
+        step_full = pipe.make_batched_step_full(clock_backend, layout=layout)
         step = lambda s, xx, nv: step_full(s, xx)
         state = pipe.init_full_state(channels)
     else:
@@ -118,10 +125,19 @@ def main() -> None:
             out = []
             for start in range(0, len(padded), block):
                 chunk = padded[start : start + block]
-                xp = np.broadcast_to(
-                    np.stack([chunk.real, chunk.imag]).astype(np.float32),
-                    (channels, 2, block),
-                )
+                if layout == "tm":
+                    xp = np.concatenate(
+                        [
+                            np.broadcast_to(chunk.real[:, None], (block, channels)),
+                            np.broadcast_to(chunk.imag[:, None], (block, channels)),
+                        ],
+                        axis=1,
+                    ).astype(np.float32)
+                else:
+                    xp = np.broadcast_to(
+                        np.stack([chunk.real, chunk.imag]).astype(np.float32),
+                        (channels, 2, block),
+                    )
                 pstate, sym, cnt = step_full(pstate, jnp.asarray(xp))
                 sym0 = np.asarray(sym)[0]
                 for k, c in enumerate(np.asarray(cnt)[0]):

@@ -429,13 +429,25 @@ class DemodPipeline:
 
     def make_batched_step_full(
         self, clock_backend: str = "pallas", *, interpret: bool = False,
-        doppler: bool = False,
+        doppler: bool = False, layout: str = "cm",
     ):
-        """Batched full-block step: (state, x (C, 2, B)) -> (state', symbols
-        (C, K), counts (C,)).  Every channel advances by exactly ``block``
-        samples; the server's batch feeder accumulates partial chunks
-        host-side.  One (C,2,B) -> (B,2C) transpose at the input is the
-        only re-layout in the whole step.
+        """Batched full-block step: (state, x) -> (state', symbols (C, K),
+        counts (C,)).  Every channel advances by exactly ``block`` samples;
+        the server's batch feeder accumulates partial chunks host-side.
+
+        ``layout`` picks the input convention (C = lane count of the state):
+          - "cm"     x is (C, 2, B) channel-major; one (C,2,B) -> (B,2C)
+                     device transpose at the input (the only re-layout in
+                     the whole step).
+          - "tm"     x is (B, 2*Cp) already time-major (I in lanes [0,Cp),
+                     Q in [Cp,2Cp)) — the kernels' native layout, zero
+                     re-layout on device.  Callers staging lanes host-side
+                     (or ahead of time) skip the transpose entirely.
+          - "fanout" x is (2, B): ONE shared IQ stream broadcast to every
+                     lane on-device (the reference's sdr_worker fan-out,
+                     src/sdr_worker.c:31-55, where all clients of one SDR
+                     connection see the same samples).  Per-lane Doppler
+                     still differentiates lanes after the broadcast.
 
         With ``doppler=True`` the step takes an extra
         (starts, ends, adjs, ph0s) tuple of (S, C) float32 tables (from
@@ -444,6 +456,8 @@ class DemodPipeline:
         Lanes with no active rows pass through bit-identically."""
         if self.exact:
             raise ValueError("the full-block fast path is float32-only")
+        if layout not in ("cm", "tm", "fanout"):
+            raise ValueError(f"unknown layout {layout!r}")
         p = self._clockp
         import jax as _jax
 
@@ -451,12 +465,26 @@ class DemodPipeline:
             interpret = True  # Mosaic kernels need a TPU; CPU = interpret mode
 
         def step(state: DemodStateFull, x: jnp.ndarray, dop=None):
-            c = x.shape[0]
             cp = state.quad_prev.shape[1] // 2
-            x_tm = jnp.transpose(x, (2, 1, 0))  # (B, 2, C)
-            if cp != c:
-                x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, cp - c)))
-            x_tm = x_tm.reshape(self.block, 2 * cp)
+            if layout == "cm":
+                c = x.shape[0]
+                x_tm = jnp.transpose(x, (2, 1, 0))  # (B, 2, C)
+                if cp != c:
+                    x_tm = jnp.pad(x_tm, ((0, 0), (0, 0), (0, cp - c)))
+                x_tm = x_tm.reshape(self.block, 2 * cp)
+            elif layout == "fanout":
+                c = cp
+                # (2, B) -> (B, 2Cp): pure broadcast, no transpose of bulk data
+                x_tm = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(x[0][:, None], (self.block, cp)),
+                        jnp.broadcast_to(x[1][:, None], (self.block, cp)),
+                    ],
+                    axis=1,
+                )
+            else:  # "tm"
+                c = cp
+                x_tm = x
             if dop is not None:
                 from sdrmodem_tpu.dsp.elementwise import nco_mix_pair_tm
 

@@ -56,6 +56,13 @@ NTAPS = 8
 POLY_DEG = 7
 UNROLL = 8
 SUB = 128  # fast-branch subtile rows
+def _shift_max() -> int:
+    """Largest window evaluated via hoisted shifted copies (bounded by the
+    8x window VMEM cost).  SDRM_CLOCK_SHIFT_MAX=0 forces the one-hot tap
+    placement everywhere (A/B hook)."""
+    import os
+
+    return int(os.environ.get("SDRM_CLOCK_SHIFT_MAX", "512"))
 
 
 @functools.lru_cache(maxsize=None)
@@ -99,12 +106,34 @@ def _mm_kernel(
     counts_ref[1, :] = jnp.zeros((c,), jnp.float32)
 
     def run_group(k0, data, nan_win, off, s_rows, rows):
-        """Process UNROLL symbols on a (s_rows, C) window at row offset off."""
+        """Process UNROLL symbols on a (s_rows, C) window at row offset off.
+
+        On windows up to SHIFT_MAX rows the windowed dot product is
+        evaluated as z[r, c] = sum_t taps[t, c] * data[r + t, c] followed
+        by a one-hot row pick at r == local: one compare + one
+        select-reduce per symbol instead of placing all 8 taps with 8
+        compares (the shifted copies of ``data`` are hoisted out and
+        shared by the group's 8 symbols).  The NaN predicate rides the
+        same reduction as a sentinel folded into z (any NaN in the window
+        adds 1e30; soft symbols are O(1)).  Beyond SHIFT_MAX (the rare
+        full-buffer overflow fallback) the 8 shifted copies would blow the
+        16 MB VMEM budget, so the original 8-compare one-hot placement is
+        used instead — correctness over speed on the healing path."""
         omega = carry_ref[0, :]
         mu = carry_ref[1, :]
         last = carry_ref[2, :]
         ii = carry_ref[3, :]
         count = carry_ref[4, :]
+        use_shift = s_rows <= _shift_max()
+        if use_shift:
+            shifted = [data]
+            for t in range(1, NTAPS):
+                shifted.append(
+                    jnp.concatenate(
+                        [data[t:, :], jnp.zeros((t, c), jnp.float32)], axis=0
+                    )
+                )
+            sentinel = nan_win * jnp.float32(1e30)
         for j in range(UNROLL):
             local = (ii - off).astype(jnp.int32)
 
@@ -113,13 +142,21 @@ def _mm_kernel(
             for i in range(1, POLY_DEG + 1):
                 taps = taps * mu_q[None, :] + poly_ref[i, :][:, None]
 
-            sel = jnp.zeros((s_rows, c), jnp.float32)
-            for t in range(NTAPS):
-                hit = rows == (local + t)[None, :]
-                sel = sel + jnp.where(hit, taps[t][None, :], 0.0)
-            hit0 = rows == local[None, :]
-            y = jnp.sum(sel * data, axis=0)
-            is_nan = jnp.sum(jnp.where(hit0, nan_win, 0.0), axis=0) > 0.0
+            if use_shift:
+                z = sentinel
+                for t in range(NTAPS):
+                    z = z + taps[t][None, :] * shifted[t]
+                hit0 = rows == local[None, :]
+                y = jnp.sum(jnp.where(hit0, z, 0.0), axis=0)
+                is_nan = y > jnp.float32(1e15)
+            else:
+                sel = jnp.zeros((s_rows, c), jnp.float32)
+                for t in range(NTAPS):
+                    hit = rows == (local + t)[None, :]
+                    sel = sel + jnp.where(hit, taps[t][None, :], 0.0)
+                hit0 = rows == local[None, :]
+                y = jnp.sum(sel * data, axis=0)
+                is_nan = jnp.sum(jnp.where(hit0, nan_win, 0.0), axis=0) > 0.0
 
             valid = ii <= nvalid_ref[0, :] - jnp.float32(NTAPS)
             out = jnp.where(is_nan, jnp.float32(0.0), y)

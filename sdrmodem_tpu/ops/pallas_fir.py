@@ -48,6 +48,13 @@ def _default_precision():
     import os
 
     name = os.environ.get("SDRM_FIR_PRECISION", "bf16x3").lower()
+    if name == "bf16x2":
+        # 2-pass: Wh@Xh + Wh@Xl — the data keeps ~16 mantissa bits but the
+        # taps are quantised to bfloat16 (~2^-9 relative tap error → ~-48 dB
+        # on the filtered signal).  Inside the reference's ±2 LSB (-42 dB)
+        # acceptance bound on the fixtures, but with less margin than
+        # bf16x3; opt-in measurement/throughput mode, not the default.
+        return "bf16x2"
     return {
         "default": jax.lax.Precision.DEFAULT,
         "highest": jax.lax.Precision.HIGHEST,
@@ -75,14 +82,16 @@ def _banded_tm_kernel(*refs, k_shift: int, precision):
     w_ref = refs[k_shift]
     out_ref = refs[k_shift + 1]
     acc = jnp.zeros(out_ref.shape, jnp.float32)
-    if precision == "bf16x3":
+    if precision in ("bf16x3", "bf16x2"):
         w_hi, w_lo = _split_bf16(w_ref[:, :])
         for s in range(k_shift):
             x_hi, x_lo = _split_bf16(refs[s][:, :])
             wh = w_hi[:, s * TILE_R : (s + 1) * TILE_R]
-            wl = w_lo[:, s * TILE_R : (s + 1) * TILE_R]
             dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-            acc = acc + dot(wh, x_hi) + dot(wh, x_lo) + dot(wl, x_hi)
+            acc = acc + dot(wh, x_hi) + dot(wh, x_lo)
+            if precision == "bf16x3":
+                wl = w_lo[:, s * TILE_R : (s + 1) * TILE_R]
+                acc = acc + dot(wl, x_hi)
         out_ref[:, :] = acc
         return
     for s in range(k_shift):

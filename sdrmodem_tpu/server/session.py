@@ -288,7 +288,13 @@ class BatchedRxGroup:
         # fly, <=2 ulp), no gather (gathers are ~25x the whole step's cost
         # on this TPU backend).  See dsp/elementwise.fast_atan2_free.
         self.pipe = DemodPipeline(fsk_config, block, exact=False, use_atan_lut="free")
-        self._step = self.pipe.make_batched_step_full("pallas", doppler=True)
+        # "fanout": the step takes the ONE shared (2, block) stream and
+        # broadcasts it to the lanes on-device — no per-lane host copies
+        # and no (C,2,B)->(B,2C) device transpose (the group exists
+        # precisely because every lane demodulates the same SDR stream)
+        self._step = self.pipe.make_batched_step_full(
+            "pallas", doppler=True, layout="fanout"
+        )
         # device-side Doppler: S piecewise-linear phase rows per block
         # (host keeps the 1 Hz SGP4 bookkeeping; Doppler.device_segments)
         self.dop_rows = Doppler.max_rows(block, fsk_config.sampling_freq)
@@ -372,7 +378,8 @@ class BatchedRxGroup:
         }
         if not sessions:
             return
-        x = np.zeros((self.LANES, 2, self.block), np.float32)
+        # one shared (2, block) pair — the step broadcasts it to all lanes
+        x = np.stack([self.acc.real, self.acc.imag]).astype(np.float32)
         # per-lane Doppler as device NCO tables: the host only runs the
         # 1 Hz SGP4 bookkeeping (cheap scalars), the mix itself happens
         # on-device inside the batched step — no serialized per-lane
@@ -383,8 +390,6 @@ class BatchedRxGroup:
         adjs = np.zeros((s_rows, self.LANES), np.float32)
         ph0s = np.zeros((s_rows, self.LANES), np.float32)
         for lane, s in sessions.items():
-            x[lane, 0] = self.acc.real
-            x[lane, 1] = self.acc.imag
             s.note_progress(self.block)
             if s.doppler is not None:
                 for k, (st, ln, adj, ph0) in enumerate(

@@ -227,3 +227,43 @@ def test_full_path_divergent_symbol_clocks():
             np.abs(s[:n_cmp].astype(np.int32) - p[:n_cmp].astype(np.int32)) <= 2
         )
         assert agree > 0.9
+
+
+def test_full_path_layouts_match_cm():
+    """layout="tm" (pre-staged time-major) and layout="fanout" (one shared
+    stream broadcast on device) produce bit-identical output to the
+    channel-major transpose path."""
+    cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
+    block, nblocks = 4096, 2
+    pipe = DemodPipeline(cfg, block, exact=False, use_atan_lut=False)
+    cp = 128  # lane-padded channel count of a 1-channel state
+
+    iq = (
+        RNG.standard_normal(nblocks * block) + 1j * RNG.standard_normal(nblocks * block)
+    ).astype(np.complex64)
+    pair = np.stack([iq.real, iq.imag]).astype(np.float32)  # (2, N)
+
+    step_cm = pipe.make_batched_step_full("scan", layout="cm")
+    step_tm = pipe.make_batched_step_full("scan", layout="tm")
+    step_fan = pipe.make_batched_step_full("scan", layout="fanout")
+
+    s_cm = pipe.init_full_state(cp)
+    s_tm = pipe.init_full_state(cp)
+    s_fan = pipe.init_full_state(cp)
+    for t in range(nblocks):
+        chunk = pair[:, t * block : (t + 1) * block]  # (2, B)
+        x_cm = np.broadcast_to(chunk, (cp, 2, block))
+        x_tm = np.concatenate(
+            [
+                np.broadcast_to(chunk[0][:, None], (block, cp)),
+                np.broadcast_to(chunk[1][:, None], (block, cp)),
+            ],
+            axis=1,
+        )
+        s_cm, sym_cm, cnt_cm = step_cm(s_cm, jnp.asarray(x_cm))
+        s_tm, sym_tm, cnt_tm = step_tm(s_tm, jnp.asarray(np.ascontiguousarray(x_tm)))
+        s_fan, sym_fan, cnt_fan = step_fan(s_fan, jnp.asarray(chunk))
+        np.testing.assert_array_equal(np.asarray(cnt_cm), np.asarray(cnt_tm))
+        np.testing.assert_array_equal(np.asarray(cnt_cm), np.asarray(cnt_fan))
+        np.testing.assert_array_equal(np.asarray(sym_cm), np.asarray(sym_tm))
+        np.testing.assert_array_equal(np.asarray(sym_cm), np.asarray(sym_fan))

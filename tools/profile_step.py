@@ -41,8 +41,16 @@ def main() -> None:
     cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
     pipe = DemodPipeline(cfg, block, exact=False, use_atan_lut="free")
 
-    rng = np.random.default_rng(0)
-    x = rng.standard_normal((channels, 2, block)).astype(np.float32) * 0.1
+    if os.environ.get("SDRM_PROFILE_INPUT", "noise") == "fixture":
+        iq = np.fromfile(
+            "/root/reference/test/resources/lucky7.expected.cf32", dtype=np.complex64
+        )
+        tiled = np.tile(iq, -(-channels * block // len(iq)))[: channels * block]
+        tiled = tiled.reshape(channels, block)
+        x = np.stack([tiled.real, tiled.imag], axis=1).astype(np.float32)
+    else:
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((channels, 2, block)).astype(np.float32) * 0.1
     x = jnp.asarray(x)
 
     state = pipe.init_full_state(channels)
@@ -50,6 +58,7 @@ def main() -> None:
 
     def full():
         s2, sym, cnt = step(state, x)
+        full.overflow = s2.clock.overflow  # healed-chunk counter (lazy fetch)
         return jnp.sum(cnt)
 
     p = pipe._clockp
@@ -90,6 +99,8 @@ def main() -> None:
         f"precision={os.environ.get('SDRM_FIR_PRECISION', 'bf16x3')}"
     )
     print(f"full step : {t_full*1e3:8.2f} ms   ({msps:.0f} Msamples/s/chip)")
+    ovf = float(np.asarray(full.overflow).sum())
+    print(f"clock window-overflow healed chunks (one step): {ovf:.0f}")
     print(f"front-end : {t_front*1e3:8.2f} ms   ({100*t_front/t_full:.0f}%)")
     print(f"clock only: {t_clock*1e3:8.2f} ms   ({100*t_clock/t_full:.0f}%)")
     print(f"other     : {(t_full-t_front-t_clock)*1e3:8.2f} ms")
