@@ -317,6 +317,39 @@ def clock_mm_batched_full(
             cs_max + SUFFIX, float(np.float32(omega)), omega_relative_limit, gain_mu
         )
 
+    if backend == "pallas":
+        # the whole block in ONE pallas call: chunks are sequential grid
+        # steps, the clock state and the suffix persist in VMEM scratch
+        # between them (ops/pallas_clock.clock_mm_chunked_tpu) — no
+        # per-chunk XLA assembly, cond branches, or kernel re-entry
+        from sdrmodem_tpu.ops.pallas_clock import clock_mm_chunked_tpu
+
+        outs3, counts, ovf, fin = clock_mm_chunked_tpu(
+            x_tm,
+            state.suffix,
+            state.omega,
+            state.mu,
+            state.last_sample,
+            state.resid,
+            chunk=CHUNK,
+            omega_mid=float(np.float32(omega)),
+            omega_relative_limit=omega_relative_limit,
+            gain_omega=gain_omega,
+            gain_mu=gain_mu,
+            num_symbols=int(num_symbols),
+            tile=tile,
+            interpret=interpret,
+        )
+        if n >= SUFFIX:
+            suffix = x_tm[-SUFFIX:, :]
+        else:
+            suffix = jnp.concatenate([state.suffix, x_tm], axis=0)[-SUFFIX:, :]
+        new_state = ClockFullState(
+            fin["omega"], fin["mu"], fin["last"], suffix.astype(jnp.float32),
+            fin["resid"], state.overflow + jnp.sum(ovf, axis=0),
+        )
+        return jnp.transpose(outs3, (2, 0, 1)), counts.T.astype(jnp.int32), new_state
+
     outs_all, counts_all = [], []
     for s, e in bounds:
         o, cnt, state = _clock_full_one(

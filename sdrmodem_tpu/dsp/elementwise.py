@@ -131,6 +131,12 @@ def atan2_dispatch(im: jnp.ndarray, re: jnp.ndarray, mode) -> jnp.ndarray:
         return fast_atan2(im, re)
     if mode == "free":
         return fast_atan2_free(im, re)
+    if mode == "null":
+        # profiling-only: NOT an arctangent (wrong numerics on purpose).
+        # Differential timing of the full step with/without the
+        # transcendental isolates the atan stage's true cost — standalone
+        # stage microbenchmarks are unreliable on this backend.
+        return im - re
     both_zero = ~((jnp.abs(im) > 0) | (jnp.abs(re) > 0))
     return jnp.where(both_zero, jnp.float32(0.0), jnp.arctan2(im, re))
 

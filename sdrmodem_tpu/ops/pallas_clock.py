@@ -56,6 +56,7 @@ NTAPS = 8
 POLY_DEG = 7
 UNROLL = 8
 SUB = 128  # fast-branch subtile rows
+SUFFIX = 64  # carried input tail rows (must equal clock_recovery.SUFFIX)
 def _shift_max() -> int:
     """Largest window evaluated via hoisted shifted copies (bounded by the
     8x window VMEM cost).  SDRM_CLOCK_SHIFT_MAX=0 forces the one-hot tap
@@ -289,6 +290,333 @@ def full_tile(work_len: int, omega_mid: float) -> int:
     sliding-window offset clips to 0 and every lane position is in view no
     matter how far lanes diverge.  Used as the overflow fallback."""
     return int(np.ceil((work_len + _span_budget(omega_mid) + 8) / 128.0)) * 128
+
+
+def _mm_chunked_kernel(
+    x_ref,  # (chunk, C) f32 — this grid step's decimated soft input
+    suffix_ref,  # (SUFFIX, C) f32 — initial carried suffix (used at g==0)
+    state_ref,  # (8, C) f32 rows: omega, mu, last, resid (from ClockFullState)
+    poly_ref,  # (8, 8) f32 Farrow bank coefficients
+    outs_ref,  # (k_pad, C) f32 — this chunk's output block
+    counts_ref,  # (8, C) f32 — rows: 0=count, 1=overflow flag (this chunk)
+    state_out_ref,  # (8, C) f32 rows: omega, mu, last, resid (final chunk wins)
+    work_ref,  # scratch (LP, C) f32 — [suffix | chunk | zero pad]
+    carry_ref,  # scratch (8, C) f32 rows: omega, mu, last, ii, count
+    *,
+    chunk: int,
+    n_total: int,
+    num_groups: int,
+    tile: int,
+    k_pad: int,
+    omega_mid: float,
+    omega_lim: float,
+    gain_omega: float,
+    gain_mu: float,
+):
+    """Whole-block M&M: ONE pallas call, chunks as sequential grid steps.
+
+    The per-block state hand-off of the reference C loop
+    (src/dsp/clock_recovery_mm.c:119-135) happens entirely on-core: the
+    clock state {omega, mu, last, ii} and the SUFFIX-row input tail
+    persist in VMEM scratch from one grid step to the next (the TPU
+    grid is sequential), so an N-sample block costs one kernel launch
+    and zero host/XLA-level chunk assembly — the predecessor formulation
+    (one pallas_call per 4096-sample chunk plus concat/cond glue) spent
+    more time entering/leaving kernels than inside them.
+
+    The window ladder matches ``_mm_kernel`` with one addition: the last
+    rung is the WHOLE work buffer, which is provably sufficient at any
+    lane spread, so the out-of-band "re-run this chunk on full_tile"
+    healing branch disappears — escalation is just another rung, and the
+    overflow flag (span past the drift-bound tile) remains purely an
+    observability counter."""
+    c = x_ref.shape[1]
+    lp = work_ref.shape[0]
+    g = pl.program_id(0)
+    max_stride = int(np.ceil(omega_mid * 1.02)) + 2
+    span_budget = NTAPS + UNROLL * max_stride
+
+    @pl.when(g == 0)
+    def _():
+        work_ref[0:SUFFIX, :] = suffix_ref[:, :]
+        carry_ref[0:3, :] = state_ref[0:3, :]
+        carry_ref[3, :] = jnp.float32(SUFFIX) - state_ref[3, :]  # ii = SUFFIX-resid
+        carry_ref[4:, :] = jnp.zeros((4, c), jnp.float32)
+        # zero tail padding once; rows past SUFFIX+chunk are never written
+        work_ref[SUFFIX + chunk :, :] = jnp.zeros((lp - SUFFIX - chunk, c), jnp.float32)
+
+    work_ref[SUFFIX : SUFFIX + chunk, :] = x_ref[:, :]
+    # valid rows this chunk (the final chunk of a ragged block is shorter)
+    wv = jnp.float32(SUFFIX) + jnp.minimum(
+        jnp.float32(chunk), jnp.float32(n_total) - g.astype(jnp.float32) * chunk
+    )
+    outs_ref[:, :] = jnp.zeros((k_pad, c), jnp.float32)
+    counts_ref[1, :] = jnp.zeros((c,), jnp.float32)
+    carry_ref[4, :] = jnp.zeros((c,), jnp.float32)  # per-chunk count
+
+    def run_group(k0, data, nan_win, off, s_rows, rows):
+        """Identical symbol math to ``_mm_kernel.run_group`` (shifted-FMA
+        form under SHIFT_MAX, one-hot beyond)."""
+        omega = carry_ref[0, :]
+        mu = carry_ref[1, :]
+        last = carry_ref[2, :]
+        ii = carry_ref[3, :]
+        count = carry_ref[4, :]
+        use_shift = s_rows <= _shift_max()
+        if use_shift:
+            shifted = [data]
+            for t in range(1, NTAPS):
+                shifted.append(
+                    jnp.concatenate(
+                        [data[t:, :], jnp.zeros((t, c), jnp.float32)], axis=0
+                    )
+                )
+            sentinel = nan_win * jnp.float32(1e30)
+        for j in range(UNROLL):
+            local = (ii - off).astype(jnp.int32)
+
+            mu_q = jnp.round(mu * 128.0) * jnp.float32(1.0 / 128.0)
+            taps = jnp.broadcast_to(poly_ref[0, :][:, None], (NTAPS, c))
+            for i in range(1, POLY_DEG + 1):
+                taps = taps * mu_q[None, :] + poly_ref[i, :][:, None]
+
+            if use_shift:
+                z = sentinel
+                for t in range(NTAPS):
+                    z = z + taps[t][None, :] * shifted[t]
+                hit0 = rows == local[None, :]
+                y = jnp.sum(jnp.where(hit0, z, 0.0), axis=0)
+                is_nan = y > jnp.float32(1e15)
+            else:
+                sel = jnp.zeros((s_rows, c), jnp.float32)
+                for t in range(NTAPS):
+                    hit = rows == (local + t)[None, :]
+                    sel = sel + jnp.where(hit, taps[t][None, :], 0.0)
+                hit0 = rows == local[None, :]
+                y = jnp.sum(sel * data, axis=0)
+                is_nan = jnp.sum(jnp.where(hit0, nan_win, 0.0), axis=0) > 0.0
+
+            valid = ii <= wv - jnp.float32(NTAPS)
+            out = jnp.where(is_nan, jnp.float32(0.0), y)
+
+            sgn_last = jnp.where(last < 0, jnp.float32(-1.0), jnp.float32(1.0))
+            sgn_out = jnp.where(out < 0, jnp.float32(-1.0), jnp.float32(1.0))
+            mm = sgn_last * out - sgn_out * last
+            omega_n = omega + jnp.float32(gain_omega) * mm
+            dev = omega_n - jnp.float32(omega_mid)
+            clip = jnp.float32(omega_lim)
+            omega_n = jnp.float32(omega_mid) + jnp.float32(0.5) * (
+                jnp.abs(dev + clip) - jnp.abs(dev - clip)
+            )
+            mu_n = mu + omega_n + jnp.float32(gain_mu) * mm
+            stride_n = jnp.floor(mu_n)
+            mu_n = mu_n - stride_n
+
+            new_mu = jnp.where(is_nan, mu, mu_n)
+            new_omega = jnp.where(is_nan, omega, omega_n)
+            new_last = jnp.where(is_nan, last, out)
+            stride = jnp.where(is_nan, jnp.floor(omega), stride_n)
+
+            outs_ref[pl.ds(k0 + j, 1), :] = jnp.where(valid, out, 0.0)[None, :]
+
+            omega = jnp.where(valid, new_omega, omega)
+            mu = jnp.where(valid, new_mu, mu)
+            last = jnp.where(valid, new_last, last)
+            ii = jnp.where(valid, ii + stride, ii)
+            count = count + valid.astype(jnp.float32)
+        carry_ref[0, :] = omega
+        carry_ref[1, :] = mu
+        carry_ref[2, :] = last
+        carry_ref[3, :] = ii
+        carry_ref[4, :] = count
+
+    def nan_precompute(data, s_rows):
+        nan_f = jnp.isnan(data).astype(jnp.float32)
+        clean = jnp.where(jnp.isnan(data), jnp.float32(0.0), data)
+        # window-or over NTAPS rows in log2 steps (shifts by 1, 2, 4)
+        nan_win = nan_f
+        for jshift in (1, 2, 4):
+            shifted = jnp.concatenate(
+                [nan_win[jshift:, :], jnp.zeros((jshift, nan_win.shape[1]), jnp.float32)],
+                axis=0,
+            )
+            nan_win = jnp.maximum(nan_win, shifted)
+        return clean, nan_win
+
+    s_min = -(-(span_budget + 8) // 8) * 8
+    s_full = lp  # whole buffer: provably sufficient at any spread
+    sizes = sorted(set([s for s in (s_min, SUB, 4 * SUB, tile) if s < s_full] + [s_full]))
+    rows_by_size = {s: jax.lax.broadcasted_iota(jnp.int32, (s, c), 0) for s in sizes}
+
+    def group(o, _):
+        ii = carry_ref[3, :]
+        active = ii <= wv - jnp.float32(NTAPS)
+        any_active = jnp.max(active.astype(jnp.float32)) > 0.0
+        neg = jnp.float32(-1e9)
+        pos = jnp.float32(1e9)
+        amin = jnp.min(jnp.where(active, ii, pos))
+        amax = jnp.max(jnp.where(active, ii, neg))
+        k0 = o * UNROLL
+
+        for idx, s in enumerate(sizes):
+            off = jnp.clip(
+                jnp.floor(amin / 8.0) * jnp.float32(8.0), 0.0, jnp.float32(lp - s)
+            )
+            span = amax - off + jnp.float32(span_budget)
+            fits = span <= jnp.float32(s)
+            if idx > 0:
+                s_prev = sizes[idx - 1]
+                off_prev = jnp.clip(
+                    jnp.floor(amin / 8.0) * jnp.float32(8.0),
+                    0.0,
+                    jnp.float32(lp - s_prev),
+                )
+                too_small = (amax - off_prev + jnp.float32(span_budget)) > jnp.float32(
+                    s_prev
+                )
+            else:
+                too_small = True
+            cond = any_active & too_small & (fits if s != s_full else True)
+
+            @pl.when(cond)
+            def _(s=s, off=off):
+                data = work_ref[pl.ds(off.astype(jnp.int32), s), :]
+                clean, nan_win = nan_precompute(data, s)
+                run_group(k0, clean, nan_win, off, s, rows_by_size[s])
+
+        # observability: lane spread past the drift-bound tile (the ladder
+        # still covers it via the full-buffer rung — output stays correct)
+        off_t = jnp.clip(
+            jnp.floor(amin / 8.0) * jnp.float32(8.0), 0.0, jnp.float32(lp - tile)
+        )
+        overflow = ((amax - off_t + jnp.float32(span_budget)) > jnp.float32(tile)).astype(
+            jnp.float32
+        )
+        counts_ref[1, :] = jnp.maximum(
+            counts_ref[1, :], jnp.broadcast_to(overflow[None], (c,))
+        )
+        return 0
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(num_groups), group, 0)
+
+    counts_ref[0, :] = carry_ref[4, :]
+    counts_ref[2:, :] = jnp.zeros((6, c), jnp.float32)
+
+    # inter-chunk hand-off: rebase ii against the carried suffix and pull
+    # the last SUFFIX valid rows to the front of the work buffer
+    ii = carry_ref[3, :]
+    resid = jnp.clip(wv - jnp.minimum(ii, wv), 0.0, jnp.float32(SUFFIX - 1))
+    carry_ref[3, :] = jnp.float32(SUFFIX) - resid
+    state_out_ref[0:3, :] = carry_ref[0:3, :]
+    state_out_ref[3, :] = resid
+    state_out_ref[4:, :] = jnp.zeros((4, c), jnp.float32)
+    tail_start = (wv - jnp.float32(SUFFIX)).astype(jnp.int32)
+    work_ref[0:SUFFIX, :] = work_ref[pl.ds(tail_start, SUFFIX), :]
+
+
+def clock_mm_chunked_tpu(
+    x_tm: jnp.ndarray,  # (N, C) float32 time-major, C <= 128 lanes (padded)
+    suffix: jnp.ndarray,  # (SUFFIX, C) float32 carried input tail
+    omega: jnp.ndarray,  # (C,)
+    mu: jnp.ndarray,  # (C,)
+    last: jnp.ndarray,  # (C,)
+    resid: jnp.ndarray,  # (C,) unconsumed suffix rows
+    *,
+    chunk: int,
+    omega_mid: float,
+    omega_relative_limit: float,
+    gain_omega: float,
+    gain_mu: float,
+    num_symbols: int,
+    tile: int | None = None,
+    interpret: bool = False,
+):
+    """Whole-block chunked M&M in one pallas call (see _mm_chunked_kernel).
+
+    Returns (outs (n_chunks, k_pad, C), counts (n_chunks, C),
+    overflow (n_chunks, C), final {omega, mu, last, resid}).
+    ``tile`` overrides the drift-bound window rung (test hook: a small
+    tile makes the overflow flag trip while the full-buffer rung keeps
+    the output correct).
+    """
+    from sdrmodem_tpu.dsp.clock_recovery import SUFFIX as _SUF
+
+    assert _SUF == SUFFIX
+    n, ch = x_tm.shape
+    if ch > LANES:
+        raise ValueError("clock_mm_chunked_tpu handles up to 128 lanes per call")
+    n_chunks = max(1, -(-n // chunk))
+    n_pad = n_chunks * chunk
+    num_groups = -(-int(num_symbols) // UNROLL)
+    k_pad = num_groups * UNROLL
+    if tile is None:
+        tile = required_tile(num_symbols, omega_mid, omega_relative_limit)
+    max_stride = int(np.ceil(omega_mid * 1.02)) + 2
+    span_budget = NTAPS + UNROLL * max_stride
+    lp = -(-(SUFFIX + chunk + span_budget + 8) // 128) * 128
+
+    yt = jnp.zeros((n_pad, LANES), jnp.float32)
+    yt = jax.lax.dynamic_update_slice(yt, x_tm.astype(jnp.float32), (0, 0))
+    sfx = jnp.zeros((SUFFIX, LANES), jnp.float32)
+    sfx = jax.lax.dynamic_update_slice(sfx, suffix.astype(jnp.float32), (0, 0))
+
+    state = jnp.zeros((8, LANES), jnp.float32)
+    for i, v in enumerate((omega, mu, last, resid.astype(jnp.float32))):
+        state = jax.lax.dynamic_update_slice(
+            state, v.astype(jnp.float32)[None, :], (i, 0)
+        )
+    poly = jnp.asarray(bank_poly_coeffs())
+
+    lim = float(np.float32(omega_mid) * np.float32(omega_relative_limit))
+    with jax.enable_x64(False):
+        outs, counts, state_out = pl.pallas_call(
+            functools.partial(
+                _mm_chunked_kernel,
+                chunk=int(chunk),
+                n_total=int(n),
+                num_groups=num_groups,
+                tile=tile,
+                k_pad=k_pad,
+                omega_mid=float(np.float32(omega_mid)),
+                omega_lim=lim,
+                gain_omega=float(np.float32(gain_omega)),
+                gain_mu=float(np.float32(gain_mu)),
+            ),
+            grid=(n_chunks,),
+            out_shape=(
+                jax.ShapeDtypeStruct((n_chunks * k_pad, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((n_chunks * 8, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+            ),
+            in_specs=[
+                pl.BlockSpec((chunk, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (SUFFIX, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((8, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 8), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((k_pad, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((lp, LANES), jnp.float32),
+                pltpu.VMEM((8, LANES), jnp.float32),
+            ],
+            interpret=interpret,
+        )(yt, sfx, state, poly)
+
+    outs3 = outs.reshape(n_chunks, k_pad, LANES)[:, :, :ch]
+    cc = counts.reshape(n_chunks, 8, LANES)
+    final = dict(
+        omega=state_out[0, :ch],
+        mu=state_out[1, :ch],
+        last=state_out[2, :ch],
+        resid=state_out[3, :ch].astype(jnp.int32),
+    )
+    return outs3, cc[:, 0, :ch], cc[:, 1, :ch], final
 
 
 def clock_mm_tpu(

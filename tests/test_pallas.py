@@ -195,3 +195,33 @@ def test_banded_tm_bf16x3_matches_exact():
     sig = np.sqrt((exact**2).mean())
     err = np.sqrt(((tri - exact) ** 2).mean())
     assert err / sig < 3e-5  # < -90 dB relative error floor
+
+
+def test_banded_tm_bf16x2_error_floor():
+    """bf16x2 (2 MXU passes: taps quantised to bfloat16, data kept at ~16
+    mantissa bits) must land near its design point, ~-48 dB — inside the
+    ±2 LSB golden budget (-42 dB) but with less margin than bf16x3.
+    Opt-in throughput mode; this pins its error floor."""
+    import jax
+
+    from sdrmodem_tpu.ops.pallas_fir import conv1d_banded_tm
+
+    taps = T.low_pass_taps(1.0, 48000, 7400, 740)
+    rev = np.asarray(taps, np.float32)[::-1].copy()
+    x = RNG.standard_normal((4096, 128)).astype(np.float32)
+    n_out = 4096 - len(rev) + 1
+    exact = np.asarray(
+        conv1d_banded_tm(
+            jnp.asarray(x), rev, 1, n_out, interpret=True,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+    two = np.asarray(
+        conv1d_banded_tm(
+            jnp.asarray(x), rev, 1, n_out, interpret=True, precision="bf16x2"
+        )
+    )
+    sig = np.sqrt((exact**2).mean())
+    err = np.sqrt(((two - exact) ** 2).mean())
+    assert err / sig < 6e-3  # ~-48 dB tap-quantisation floor
+    assert err / sig > 1e-5  # sanity: it IS the 2-pass path, not bf16x3

@@ -146,7 +146,6 @@ def main() -> None:
         ("lpf1", lambda: lpf1(work1), channels * block),
         ("quad(free)", lambda: make_quad("free")(y1), channels * block),
         ("quad(atan2)", lambda: make_quad(False)(y1), channels * block),
-        ("quad(lut)", lambda: make_quad(True)(y1), channels * block),
         ("lpf2", lambda: lpf2(work2), channels * block),
         ("dc", lambda: dc(work3), channels * block // d),
         ("clock(lockstep)", make_clock(y3_lock), channels * block),

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Differential full-step profiling: the only timing methodology that has
+proven reliable on the axon TPU backend.
+
+Standalone per-stage microbenchmarks (tools/profile_front.py) produce
+numbers that contradict the end-to-end step time — XLA lowers isolated
+stages differently than the fused production program.  This tool instead
+times the COMPLETE production step several times, swapping exactly one
+ingredient per variant; deltas between variants attribute the step's time
+to stages trustworthily because everything else stays identical.
+
+Variants: input layout (cm = device transpose, tm = pre-staged), atan
+mode (free LUT / plain arctan2 / null placeholder), FIR MXU precision
+(bf16x3 / bf16x2), clock inner-loop form (shifted-FMA / one-hot).
+
+Usage: PYTHONPATH=. python3 -u tools/profile_variants.py
+"""
+
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig
+    from sdrmodem_tpu.dsp.pipeline import DemodPipeline
+
+    channels = int(os.environ.get("SDRM_BENCH_CHANNELS", "128"))
+    block = int(os.environ.get("SDRM_BENCH_BLOCK", str(1 << 20)))
+    iters = int(os.environ.get("SDRM_BENCH_ITERS", "4"))
+    cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
+
+    iq = np.fromfile(
+        "/root/reference/test/resources/lucky7.expected.cf32", dtype=np.complex64
+    )
+    tiled = np.tile(iq, -(-channels * block // len(iq)))[: channels * block]
+    tiled = tiled.reshape(channels, block)
+    x_cm = jnp.asarray(
+        np.stack([tiled.real, tiled.imag], axis=1).astype(np.float32)
+    )
+    x_tm = jnp.asarray(
+        np.concatenate([tiled.real.T, tiled.imag.T], axis=1).astype(np.float32)
+    )
+
+    def run(name, layout, atan, precision, shift_max):
+        os.environ["SDRM_FIR_PRECISION"] = precision
+        os.environ["SDRM_CLOCK_SHIFT_MAX"] = str(shift_max)
+        pipe = DemodPipeline(cfg, block, exact=False, use_atan_lut=atan)
+        step = pipe.make_batched_step_full("pallas", layout=layout)
+        state = pipe.init_full_state(channels)
+        x = x_cm if layout == "cm" else x_tm
+        state, sym, cnt = step(state, x)  # compile + warm
+        _ = int(np.asarray(cnt).sum())
+        t0 = time.perf_counter()
+        s = state
+        for _ in range(iters):
+            s, sym, cnt = step(s, x)
+        total = int(np.asarray(cnt).sum())
+        dt = (time.perf_counter() - t0) / iters
+        msps = channels * block / dt / 1e6
+        print(f"{name:34s}: {dt*1e3:8.2f} ms/step  ({msps:7.0f} Msamples/s)  "
+              f"[checksum {total}]", flush=True)
+        return dt
+
+    base = run("cm free bf16x3 shift512 (baseline)", "cm", "free", "bf16x3", 512)
+    tm = run("tm free bf16x3 shift512", "tm", "free", "bf16x3", 512)
+    at2 = run("tm atan2 bf16x3 shift512", "tm", False, "bf16x3", 512)
+    nul = run("tm null-atan bf16x3 shift512", "tm", "null", "bf16x3", 512)
+    bf2 = run("tm free bf16x2 shift512", "tm", "free", "bf16x2", 512)
+    oh = run("tm free bf16x3 shift0 (one-hot clk)", "tm", "free", "bf16x3", 0)
+
+    print("\n--- attribution (deltas) ---")
+    print(f"device transpose (cm - tm)        : {(base-tm)*1e3:8.2f} ms")
+    print(f"atan free vs arctan2              : {(tm-at2)*1e3:8.2f} ms")
+    print(f"atan free vs none (total atan)    : {(tm-nul)*1e3:8.2f} ms")
+    print(f"FIR bf16x3 vs bf16x2 (1 MXU pass) : {(tm-bf2)*1e3:8.2f} ms")
+    print(f"clock shifted-FMA vs one-hot      : {(oh-tm)*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
