@@ -374,9 +374,11 @@ def clock_mm_batched_full(
     )
 
 
-# sub-chunk size (input samples per kernel call): bounds the worst-case
-# lane spread the clock kernel's window must cover
-CHUNK = 4096
+# sub-chunk size (rows per sequential grid step of the chunked kernel):
+# bounds the worst-case lane spread a window must cover AND the kernel's
+# VMEM footprint (work buffer + the full-buffer ladder rung's temporaries
+# + double-buffered input/output blocks must fit 16 MB)
+CHUNK = 2048
 
 
 def _clock_full_one(
