@@ -24,6 +24,7 @@ between time-shards in the multi-device pipeline.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -377,8 +378,10 @@ def clock_mm_batched_full(
 # sub-chunk size (rows per sequential grid step of the chunked kernel):
 # bounds the worst-case lane spread a window must cover AND the kernel's
 # VMEM footprint (work buffer + the full-buffer ladder rung's temporaries
-# + double-buffered input/output blocks must fit 16 MB)
-CHUNK = 2048
+# + double-buffered input/output blocks must fit 16 MB).  Env-tunable:
+# wider lane counts (>128 channels per kernel call) scale every VMEM
+# buffer by ceil(C/128), so e.g. 256 lanes pairs with SDRM_CLOCK_CHUNK=1024
+CHUNK = int(os.environ.get("SDRM_CLOCK_CHUNK", "2048"))
 
 
 def _clock_full_one(

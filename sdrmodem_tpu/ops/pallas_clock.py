@@ -229,11 +229,12 @@ def _mm_kernel(
         pos = jnp.float32(1e9)
         amin = jnp.min(jnp.where(active, ii, pos))
         amax = jnp.max(jnp.where(active, ii, neg))
-        off = jnp.clip(
-            jnp.floor(amin / 8.0) * jnp.float32(8.0),
-            0.0,
-            jnp.float32(lp - tile),
-        )
+        # integer 8-aligned window offset: the trailing *8 lets Mosaic
+        # statically prove the sublane alignment of the dynamic load
+        # (the float floor(amin/8)*8 form fails that proof at >1-vreg
+        # lane counts)
+        off_i = jnp.clip(amin.astype(jnp.int32) // 8, 0, (lp - tile) // 8) * 8
+        off = off_i.astype(jnp.float32)
         span = amax - off + jnp.float32(span_budget)
         k0 = o * UNROLL
 
@@ -246,7 +247,7 @@ def _mm_kernel(
 
             @pl.when(cond)
             def _(s=s):
-                data = y_ref[pl.ds(off.astype(jnp.int32), s), :]
+                data = y_ref[pl.ds(off_i, s), :]
                 clean, nan_win = nan_precompute(data, s)
                 run_group(k0, clean, nan_win, off, s, rows_by_size[s])
 
@@ -458,19 +459,23 @@ def _mm_chunked_kernel(
         amax = jnp.max(jnp.where(active, ii, neg))
         k0 = o * UNROLL
 
+        # integer 8-aligned window offsets (clip in units of 8 rows, then
+        # *8: Mosaic statically proves the dynamic load's sublane
+        # alignment from the trailing multiply — the float floor(amin/8)*8
+        # form fails that proof at >1-vreg lane counts)
+        amin_i = amin.astype(jnp.int32) // 8
+
+        def aligned_off(s):
+            oi = jnp.clip(amin_i, 0, (lp - s) // 8) * 8
+            return oi, oi.astype(jnp.float32)
+
         for idx, s in enumerate(sizes):
-            off = jnp.clip(
-                jnp.floor(amin / 8.0) * jnp.float32(8.0), 0.0, jnp.float32(lp - s)
-            )
+            off_i, off = aligned_off(s)
             span = amax - off + jnp.float32(span_budget)
             fits = span <= jnp.float32(s)
             if idx > 0:
                 s_prev = sizes[idx - 1]
-                off_prev = jnp.clip(
-                    jnp.floor(amin / 8.0) * jnp.float32(8.0),
-                    0.0,
-                    jnp.float32(lp - s_prev),
-                )
+                _, off_prev = aligned_off(s_prev)
                 too_small = (amax - off_prev + jnp.float32(span_budget)) > jnp.float32(
                     s_prev
                 )
@@ -479,16 +484,14 @@ def _mm_chunked_kernel(
             cond = any_active & too_small & (fits if s != s_full else True)
 
             @pl.when(cond)
-            def _(s=s, off=off):
-                data = work_ref[pl.ds(off.astype(jnp.int32), s), :]
+            def _(s=s, off=off, off_i=off_i):
+                data = work_ref[pl.ds(off_i, s), :]
                 clean, nan_win = nan_precompute(data, s)
                 run_group(k0, clean, nan_win, off, s, rows_by_size[s])
 
         # observability: lane spread past the drift-bound tile (the ladder
         # still covers it via the full-buffer rung — output stays correct)
-        off_t = jnp.clip(
-            jnp.floor(amin / 8.0) * jnp.float32(8.0), 0.0, jnp.float32(lp - tile)
-        )
+        off_t = aligned_off(tile)[1]
         overflow = ((amax - off_t + jnp.float32(span_budget)) > jnp.float32(tile)).astype(
             jnp.float32
         )
@@ -510,12 +513,16 @@ def _mm_chunked_kernel(
     state_out_ref[0:3, :] = carry_ref[0:3, :]
     state_out_ref[3, :] = resid
     state_out_ref[4:, :] = jnp.zeros((4, c), jnp.float32)
-    tail_start = (wv - jnp.float32(SUFFIX)).astype(jnp.int32)
+    # 8-aligned for Mosaic's static alignment proof: wv = SUFFIX + chunk on
+    # every chunk that HAS a successor (both multiples of 8), so the
+    # align-down only alters the final chunk's tail — which no grid step
+    # reads (the host-side wrapper recomputes the next block's suffix)
+    tail_start = ((wv.astype(jnp.int32) - SUFFIX) // 8) * 8
     work_ref[0:SUFFIX, :] = work_ref[pl.ds(tail_start, SUFFIX), :]
 
 
 def clock_mm_chunked_tpu(
-    x_tm: jnp.ndarray,  # (N, C) float32 time-major, C <= 128 lanes (padded)
+    x_tm: jnp.ndarray,  # (N, C) float32 time-major; C pads to a 128 multiple
     suffix: jnp.ndarray,  # (SUFFIX, C) float32 carried input tail
     omega: jnp.ndarray,  # (C,)
     mu: jnp.ndarray,  # (C,)
@@ -542,9 +549,13 @@ def clock_mm_chunked_tpu(
     from sdrmodem_tpu.dsp.clock_recovery import SUFFIX as _SUF
 
     assert _SUF == SUFFIX
+    assert chunk % 8 == 0, "chunk must be sublane-aligned (multiple of 8)"
     n, ch = x_tm.shape
-    if ch > LANES:
-        raise ValueError("clock_mm_chunked_tpu handles up to 128 lanes per call")
+    # lane-pad to a vreg-width multiple: the kernel body is parametric in
+    # its lane count, and every per-op cost scales with ceil(C/128) vregs
+    # while the sequential symbol chain stays ONE dependency chain — more
+    # lanes amortize the latency-bound M&M walk across more channels
+    cp = -(-ch // LANES) * LANES
     n_chunks = max(1, -(-n // chunk))
     n_pad = n_chunks * chunk
     num_groups = -(-int(num_symbols) // UNROLL)
@@ -555,12 +566,12 @@ def clock_mm_chunked_tpu(
     span_budget = NTAPS + UNROLL * max_stride
     lp = -(-(SUFFIX + chunk + span_budget + 8) // 128) * 128
 
-    yt = jnp.zeros((n_pad, LANES), jnp.float32)
+    yt = jnp.zeros((n_pad, cp), jnp.float32)
     yt = jax.lax.dynamic_update_slice(yt, x_tm.astype(jnp.float32), (0, 0))
-    sfx = jnp.zeros((SUFFIX, LANES), jnp.float32)
+    sfx = jnp.zeros((SUFFIX, cp), jnp.float32)
     sfx = jax.lax.dynamic_update_slice(sfx, suffix.astype(jnp.float32), (0, 0))
 
-    state = jnp.zeros((8, LANES), jnp.float32)
+    state = jnp.zeros((8, cp), jnp.float32)
     for i, v in enumerate((omega, mu, last, resid.astype(jnp.float32))):
         state = jax.lax.dynamic_update_slice(
             state, v.astype(jnp.float32)[None, :], (i, 0)
@@ -584,32 +595,32 @@ def clock_mm_chunked_tpu(
             ),
             grid=(n_chunks,),
             out_shape=(
-                jax.ShapeDtypeStruct((n_chunks * k_pad, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((n_chunks * 8, LANES), jnp.float32),
-                jax.ShapeDtypeStruct((8, LANES), jnp.float32),
+                jax.ShapeDtypeStruct((n_chunks * k_pad, cp), jnp.float32),
+                jax.ShapeDtypeStruct((n_chunks * 8, cp), jnp.float32),
+                jax.ShapeDtypeStruct((8, cp), jnp.float32),
             ),
             in_specs=[
-                pl.BlockSpec((chunk, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk, cp), lambda g: (g, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (SUFFIX, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM
+                    (SUFFIX, cp), lambda g: (0, 0), memory_space=pltpu.VMEM
                 ),
-                pl.BlockSpec((8, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, cp), lambda g: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, 8), lambda g: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
-                pl.BlockSpec((k_pad, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, LANES), lambda g: (g, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, LANES), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((k_pad, cp), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, cp), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, cp), lambda g: (0, 0), memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((lp, LANES), jnp.float32),
-                pltpu.VMEM((8, LANES), jnp.float32),
+                pltpu.VMEM((lp, cp), jnp.float32),
+                pltpu.VMEM((8, cp), jnp.float32),
             ],
             interpret=interpret,
         )(yt, sfx, state, poly)
 
-    outs3 = outs.reshape(n_chunks, k_pad, LANES)[:, :, :ch]
-    cc = counts.reshape(n_chunks, 8, LANES)
+    outs3 = outs.reshape(n_chunks, k_pad, cp)[:, :, :ch]
+    cc = counts.reshape(n_chunks, 8, cp)
     final = dict(
         omega=state_out[0, :ch],
         mu=state_out[1, :ch],

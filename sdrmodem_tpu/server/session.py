@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -274,9 +275,15 @@ class BatchedRxGroup:
     This is the TPU-native shape of the reference's thread-per-client
     model: the stream buffer is broadcast to every lane (the reference's
     sdr_worker fan-out, src/sdr_worker.c:31-55), per-lane Doppler runs
-    host-side, and a single Pallas program advances all 128 lanes."""
+    host-side, and a single Pallas program advances all lanes.
 
-    LANES = 128
+    ``LANES`` (SDRM_SERVER_LANES, default 128, any multiple of 128): the
+    clients-per-compiled-step capacity.  The clock kernel is parametric in
+    its lane count, so wider groups amortize the latency-bound M&M walk
+    over more clients per step (pair >128 with SDRM_CLOCK_CHUNK=1024 to
+    keep the kernel inside the 16 MB VMEM budget)."""
+
+    LANES = max(128, -(-int(os.environ.get("SDRM_SERVER_LANES", "128")) // 128) * 128)
 
     def __init__(self, fsk_config: FskDemodConfig, block: int):
         import jax.numpy as jnp

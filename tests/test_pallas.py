@@ -277,3 +277,39 @@ def test_chunked_clock_ragged_and_tiny_blocks_match_scan():
     ys = _soft_signals(c, 3 * (SUFFIX - 8), 5.0).T.copy()
     tiny = [ys[k * (SUFFIX - 8) : (k + 1) * (SUFFIX - 8)] for k in range(3)]
     check(run(tiny, "pallas"), run(tiny, "scan"))
+
+
+def test_chunked_clock_multi_vreg_lanes_match_scan():
+    """Lane counts past one vreg (C > 128): the chunked kernel's body is
+    parametric in its lane dimension, so 136 channels run as two 128-lane
+    vregs in ONE kernel call — the sequential M&M walk is latency-bound,
+    so extra lanes amortize it.  Must match the scan path per symbol."""
+    from sdrmodem_tpu.dsp.clock_recovery import (
+        CHUNK, clock_mm_batched_full, initial_full_state,
+    )
+
+    p = mm_params(5.0)
+    kw = dict(
+        omega=p["omega"], gain_omega=p["gain_omega"], mu=p["mu"],
+        gain_mu=p["gain_mu"], omega_relative_limit=p["omega_relative_limit"],
+    )
+    c = 136
+    y = _soft_signals(c, CHUNK + 160, 5.0).T.copy()  # 2 chunks, ragged tail
+
+    def run(backend):
+        st = initial_full_state(p["omega"], c)
+        o, cnt, st = clock_mm_batched_full(
+            jnp.asarray(y), st, backend=backend, interpret=True, **kw
+        )
+        o, cnt = np.asarray(o), np.asarray(cnt)
+        return [
+            np.concatenate([o[ch, t, : cnt[ch, t]] for t in range(cnt.shape[1])])
+            for ch in range(c)
+        ]
+
+    pall, scan = run("pallas"), run("scan")
+    for a, b in zip(pall, scan):
+        assert len(a) == len(b)
+        qa = np.clip(np.rint(a * 127.0), -128, 127)
+        qb = np.clip(np.rint(b * 127.0), -128, 127)
+        assert np.abs(qa - qb).max() <= 2  # the reference's own int8 policy
