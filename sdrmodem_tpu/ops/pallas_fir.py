@@ -29,7 +29,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-TILE_R = 128  # output rows per grid step of the banded-matmul kernel
+TILE_R = 128  # default output rows per grid step of the banded-matmul kernel
+
+
+def _tile_r() -> int:
+    """Output-tile height (SDRM_FIR_TILE_R, default 128, multiple of 8).
+
+    Bigger tiles cut both the grid-step count and the k_shift re-read
+    factor (reads scale with ceil((tile*stride + taps-1)/tile)): for the
+    637-tap DC blocker 256-row tiles read the stream 4x instead of 6x."""
+    import os
+
+    return max(128, int(os.environ.get("SDRM_FIR_TILE_R", str(TILE_R))) // 128 * 128)
 
 
 def _default_precision():
@@ -68,7 +79,7 @@ def _split_bf16(v: jnp.ndarray):
     return hi, lo
 
 
-def _banded_tm_kernel(*refs, k_shift: int, precision):
+def _banded_tm_kernel(*refs, k_shift: int, precision, tile_r: int = TILE_R):
     """out = sum_s W[:, s*128:(s+1)*128] @ x_blocks[s] — one output tile.
 
     ``precision`` matters: the MXU multiplies in bfloat16 passes, and the
@@ -82,34 +93,47 @@ def _banded_tm_kernel(*refs, k_shift: int, precision):
     w_ref = refs[k_shift]
     out_ref = refs[k_shift + 1]
     acc = jnp.zeros(out_ref.shape, jnp.float32)
+    # always accumulate in 128-row sub-blocks of the ABSOLUTE input row
+    # index (sub = tile_r // 128 per block): the per-output-element f32
+    # addition sequence is then invariant in tile_r, so any
+    # SDRM_FIR_TILE_R produces bit-identical output — larger tiles change
+    # only the grid/DMA granularity, not the numerics the chaotic M&M
+    # clock downstream amplifies
+    sub = tile_r // TILE_R
     if precision in ("bf16x3", "bf16x2"):
         w_hi, w_lo = _split_bf16(w_ref[:, :])
+        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
         for s in range(k_shift):
             x_hi, x_lo = _split_bf16(refs[s][:, :])
-            wh = w_hi[:, s * TILE_R : (s + 1) * TILE_R]
-            dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-            acc = acc + dot(wh, x_hi) + dot(wh, x_lo)
-            if precision == "bf16x3":
-                wl = w_lo[:, s * TILE_R : (s + 1) * TILE_R]
-                acc = acc + dot(wl, x_hi)
+            for i in range(sub):
+                c0 = s * tile_r + i * TILE_R
+                wh = w_hi[:, c0 : c0 + TILE_R]
+                xh = x_hi[i * TILE_R : (i + 1) * TILE_R, :]
+                xl = x_lo[i * TILE_R : (i + 1) * TILE_R, :]
+                acc = acc + dot(wh, xh) + dot(wh, xl)
+                if precision == "bf16x3":
+                    wl = w_lo[:, c0 : c0 + TILE_R]
+                    acc = acc + dot(wl, xh)
         out_ref[:, :] = acc
         return
     for s in range(k_shift):
-        acc = acc + jnp.dot(
-            w_ref[:, s * TILE_R : (s + 1) * TILE_R],
-            refs[s][:, :],
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        for i in range(sub):
+            c0 = s * tile_r + i * TILE_R
+            acc = acc + jnp.dot(
+                w_ref[:, c0 : c0 + TILE_R],
+                refs[s][i * TILE_R : (i + 1) * TILE_R, :],
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
     out_ref[:, :] = acc
 
 
 @functools.lru_cache(maxsize=None)
-def _band_matrix(rev_taps: tuple, stride: int, k_shift: int) -> np.ndarray:
-    """(TILE_R, k_shift*TILE_R) with W[o, o*stride + j] = rev[j]."""
+def _band_matrix(rev_taps: tuple, stride: int, k_shift: int, tile_r: int = TILE_R) -> np.ndarray:
+    """(tile_r, k_shift*tile_r) with W[o, o*stride + j] = rev[j]."""
     rev = np.asarray(rev_taps, np.float32)
-    w = np.zeros((TILE_R, k_shift * TILE_R), np.float32)
-    for o in range(TILE_R):
+    w = np.zeros((tile_r, k_shift * tile_r), np.float32)
+    for o in range(tile_r):
         w[o, o * stride : o * stride + len(rev)] = rev
     return w
 
@@ -141,21 +165,22 @@ def conv1d_banded_tm(
     r, l = x_tm.shape
     if l % LANES != 0:
         raise ValueError("lane count must be a multiple of 128 (pad the batch)")
-    k_shift = -(-(TILE_R * stride + t - 1) // TILE_R)
-    g_tiles = -(-n_out // TILE_R)
+    tr = _tile_r()
+    k_shift = -(-(tr * stride + t - 1) // tr)
+    g_tiles = -(-n_out // tr)
     lane_tiles = l // LANES
 
-    rows_need = ((g_tiles - 1) * stride + k_shift) * TILE_R
+    rows_need = ((g_tiles - 1) * stride + k_shift) * tr
     if r < rows_need:
         x_tm = jnp.pad(x_tm, ((0, rows_need - r), (0, 0)))
     elif r > rows_need:
         x_tm = x_tm[:rows_need]
 
-    w = jnp.asarray(_band_matrix(tuple(rev.tolist()), stride, k_shift))
+    w = jnp.asarray(_band_matrix(tuple(rev.tolist()), stride, k_shift, tr))
 
     in_specs = [
         pl.BlockSpec(
-            (TILE_R, LANES),
+            (tr, LANES),
             functools.partial(lambda g, lt, s: (g * stride + s, lt), s=s),
             memory_space=pltpu.VMEM,
         )
@@ -163,7 +188,7 @@ def conv1d_banded_tm(
     ]
     in_specs.append(
         pl.BlockSpec(
-            (TILE_R, k_shift * TILE_R), lambda g, lt: (0, 0), memory_space=pltpu.VMEM
+            (tr, k_shift * tr), lambda g, lt: (0, 0), memory_space=pltpu.VMEM
         )
     )
 
@@ -171,12 +196,14 @@ def conv1d_banded_tm(
         precision = _default_precision()
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            functools.partial(_banded_tm_kernel, k_shift=k_shift, precision=precision),
-            out_shape=jax.ShapeDtypeStruct((g_tiles * TILE_R, l), jnp.float32),
+            functools.partial(
+                _banded_tm_kernel, k_shift=k_shift, precision=precision, tile_r=tr
+            ),
+            out_shape=jax.ShapeDtypeStruct((g_tiles * tr, l), jnp.float32),
             grid=(g_tiles, lane_tiles),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (TILE_R, LANES), lambda g, lt: (g, lt), memory_space=pltpu.VMEM
+                (tr, LANES), lambda g, lt: (g, lt), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
         )(*([x_tm] * k_shift), w)

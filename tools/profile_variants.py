@@ -46,20 +46,33 @@ def main() -> None:
         np.concatenate([tiled.real.T, tiled.imag.T], axis=1).astype(np.float32)
     )
 
-    def run(name, layout, atan, precision, shift_max):
+    def run(name, layout, atan, precision, shift_max, front_only=False):
         os.environ["SDRM_FIR_PRECISION"] = precision
         os.environ["SDRM_CLOCK_SHIFT_MAX"] = str(shift_max)
         pipe = DemodPipeline(cfg, block, exact=False, use_atan_lut=atan)
-        step = pipe.make_batched_step_full("pallas", layout=layout)
+        if front_only:
+            # front-end only (LPF1 -> quad -> LPF2 -> DC), no clock
+            # kernel: the full-step delta attributes the sequential M&M
+            # walk's share of the production step
+            import jax as _jax
+
+            @_jax.jit
+            def step(state, x):
+                front, y3 = pipe._front_batched_full(state, x)
+                from sdrmodem_tpu.dsp.pipeline import DemodStateFull
+
+                return DemodStateFull(*front, state.clock), y3, jnp.sum(y3)
+        else:
+            step = pipe.make_batched_step_full("pallas", layout=layout)
         state = pipe.init_full_state(channels)
         x = x_cm if layout == "cm" else x_tm
         state, sym, cnt = step(state, x)  # compile + warm
-        _ = int(np.asarray(cnt).sum())
+        _ = float(np.asarray(cnt).sum())
         t0 = time.perf_counter()
         s = state
         for _ in range(iters):
             s, sym, cnt = step(s, x)
-        total = int(np.asarray(cnt).sum())
+        total = int(np.asarray(cnt).sum())  # device fetch forces the chain
         dt = (time.perf_counter() - t0) / iters
         msps = channels * block / dt / 1e6
         print(f"{name:34s}: {dt*1e3:8.2f} ms/step  ({msps:7.0f} Msamples/s)  "
@@ -72,6 +85,8 @@ def main() -> None:
     nul = run("tm null-atan bf16x3 shift512", "tm", "null", "bf16x3", 512)
     bf2 = run("tm free bf16x2 shift512", "tm", "free", "bf16x2", 512)
     oh = run("tm free bf16x3 shift0 (one-hot clk)", "tm", "free", "bf16x3", 0)
+    fr = run("tm free bf16x3 FRONT-ONLY (no clk)", "tm", "free", "bf16x3", 512,
+             front_only=True)
 
     print("\n--- attribution (deltas) ---")
     print(f"device transpose (cm - tm)        : {(base-tm)*1e3:8.2f} ms")
@@ -79,6 +94,8 @@ def main() -> None:
     print(f"atan free vs none (total atan)    : {(tm-nul)*1e3:8.2f} ms")
     print(f"FIR bf16x3 vs bf16x2 (1 MXU pass) : {(tm-bf2)*1e3:8.2f} ms")
     print(f"clock shifted-FMA vs one-hot      : {(oh-tm)*1e3:8.2f} ms")
+    print(f"front-end (FIRs+atan+DC) alone    : {fr*1e3:8.2f} ms")
+    print(f"M&M clock kernel share (tm - fr)  : {(tm-fr)*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
