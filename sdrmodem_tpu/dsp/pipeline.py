@@ -390,6 +390,12 @@ class DemodPipeline:
         copies on TPU) vanish entirely.  All arrays are time-major
         (rows = samples, lanes = channels): x_tm is (B, 2*Cp) with I in
         lanes [0, Cp) and Q in [Cp, 2Cp).
+
+        Each work buffer is front-padded with ``(-(taps-1)) % 128`` zero
+        rows and the band shifted by the same amount (col_offset), so the
+        128-row f32 accumulation sub-blocks start at stream row 0 mod 128
+        — the convention shared with the fused front-end kernel
+        (ops/pallas_front.py), making the two paths bit-identical.
         """
         from sdrmodem_tpu.ops.pallas_fir import conv1d_banded_tm
 
@@ -399,9 +405,14 @@ class DemodPipeline:
         cp2 = x_tm.shape[1]
         cp = cp2 // 2
 
-        work1 = jnp.concatenate([state.lpf1_hist, x_tm], axis=0)  # (h1+B, 2Cp)
-        y1 = conv1d_banded_tm(work1, self._t1[::-1], 1, b_, interpret=interpret)
-        lpf1_hist = work1[b_:, :]
+        pad1 = (-(len(self._t1) - 1)) % 128
+        work1 = jnp.concatenate(
+            [jnp.zeros((pad1, cp2), jnp.float32), state.lpf1_hist, x_tm], axis=0
+        )  # (pad1+h1+B, 2Cp)
+        y1 = conv1d_banded_tm(
+            work1, self._t1[::-1], 1, b_, interpret=interpret, col_offset=pad1
+        )
+        lpf1_hist = work1[pad1 + b_:, :]
 
         shifted = jnp.concatenate([state.quad_prev, y1[:-1, :]], axis=0)
         i, q = y1[:, :cp], y1[:, cp:]
@@ -412,24 +423,76 @@ class DemodPipeline:
         quad_prev = y1[-1:, :]
 
         n2 = b_ // d
-        work2 = jnp.concatenate([state.lpf2_hist, yq], axis=0)  # (h2+B, Cp)
-        y2 = conv1d_banded_tm(work2, self._t2[::-1], d, n2, interpret=interpret)
-        lpf2_hist = work2[b_:, :]
+        pad2 = (-(len(self._t2) - 1)) % 128
+        work2 = jnp.concatenate(
+            [jnp.zeros((pad2, cp), jnp.float32), state.lpf2_hist, yq], axis=0
+        )  # (pad2+h2+B, Cp)
+        y2 = conv1d_banded_tm(
+            work2, self._t2[::-1], d, n2, interpret=interpret, col_offset=pad2
+        )
+        lpf2_hist = work2[pad2 + b_:, :]
 
         if self._tdc is not None:
             # the DC blocker is LTI: one causal (4L-3)-tap FIR (delay minus
             # 4-cascade moving average, dsp/elementwise.py:dc_blocker_taps)
             # through the same banded matmul
-            work3 = jnp.concatenate([state.dc_hist, y2], axis=0)  # (h3+n2, Cp)
-            y3 = conv1d_banded_tm(work3, self._tdc[::-1], 1, n2, interpret=interpret)
-            dc_hist = work3[n2:, :]
+            pad3 = (-(len(self._tdc) - 1)) % 128
+            work3 = jnp.concatenate(
+                [jnp.zeros((pad3, cp), jnp.float32), state.dc_hist, y2], axis=0
+            )  # (pad3+h3+n2, Cp)
+            y3 = conv1d_banded_tm(
+                work3, self._tdc[::-1], 1, n2, interpret=interpret, col_offset=pad3
+            )
+            dc_hist = work3[pad3 + n2:, :]
         else:
             y3, dc_hist = y2, state.dc_hist
         return (lpf1_hist, quad_prev, lpf2_hist, dc_hist), y3
 
+    def _front_fused_full(
+        self, state: DemodStateFull, x_tm: jnp.ndarray, *, interpret: bool = False
+    ):
+        """Fused single-kernel front-end (ops/pallas_front.py) — same
+        signature and BIT-IDENTICAL results as ``_front_batched_full``,
+        at ~1/7th of its HBM traffic."""
+        from sdrmodem_tpu.ops.pallas_front import fused_front_call
+
+        y3, front = fused_front_call(
+            x_tm,
+            state.lpf1_hist,
+            state.quad_prev,
+            state.lpf2_hist,
+            state.dc_hist,
+            self._front_spec(),
+            interpret=interpret,
+        )
+        return front, y3
+
+    def _front_spec(self):
+        from sdrmodem_tpu.ops.pallas_front import FrontSpec
+
+        return FrontSpec(
+            t1=tuple(self._t1.tolist()),
+            t2=tuple(self._t2.tolist()),
+            tdc=tuple(self._tdc.tolist()) if self._tdc is not None else None,
+            d=self.config.decimation,
+            quad_gain=self.config.quad_gain,
+            atan_mode=self.use_atan_lut,
+        )
+
+    def fused_front_available(self) -> bool:
+        """The fused kernel needs a legal time tile and a gather-free
+        arctangent (in-kernel table gathers don't exist on TPU)."""
+        from sdrmodem_tpu.ops.pallas_front import choose_tile
+
+        if self.exact:
+            return False
+        if self.use_atan_lut not in ("free", False, "atan2", "null"):
+            return False
+        return choose_tile(self.block, self.config.decimation) is not None
+
     def make_batched_step_full(
         self, clock_backend: str = "pallas", *, interpret: bool = False,
-        doppler: bool = False, layout: str = "cm",
+        doppler: bool = False, layout: str = "cm", front: str | None = None,
     ):
         """Batched full-block step: (state, x) -> (state', symbols (C, K),
         counts (C,)).  Every channel advances by exactly ``block`` samples;
@@ -458,6 +521,14 @@ class DemodPipeline:
             raise ValueError("the full-block fast path is float32-only")
         if layout not in ("cm", "tm", "fanout"):
             raise ValueError(f"unknown layout {layout!r}")
+        if front is None:
+            import os
+
+            front = os.environ.get("SDRM_FRONT", "fused")
+        if front not in ("fused", "banded"):
+            raise ValueError(f"unknown front {front!r}")
+        if front == "fused" and not self.fused_front_available():
+            front = "banded"  # tiny/odd blocks or gather-LUT atan: fall back
         p = self._clockp
         import jax as _jax
 
@@ -489,7 +560,10 @@ class DemodPipeline:
                 from sdrmodem_tpu.dsp.elementwise import nco_mix_pair_tm
 
                 x_tm = nco_mix_pair_tm(x_tm, *dop)
-            front, y3 = self._front_batched_full(state, x_tm, interpret=interpret)
+            if front == "fused":
+                fstate, y3 = self._front_fused_full(state, x_tm, interpret=interpret)
+            else:
+                fstate, y3 = self._front_batched_full(state, x_tm, interpret=interpret)
             outs, counts, clock_state = clock_mm_batched_full(
                 y3, state.clock,
                 omega=p["omega"], gain_omega=p["gain_omega"], mu=p["mu"],
@@ -497,7 +571,7 @@ class DemodPipeline:
                 omega_relative_limit=p["omega_relative_limit"],
                 backend=clock_backend, interpret=interpret,
             )
-            new_state = DemodStateFull(*front, clock_state)
+            new_state = DemodStateFull(*fstate, clock_state)
             return new_state, float_to_int8(outs[:c]), counts[:c]
 
         if doppler:

@@ -33,14 +33,20 @@ TILE_R = 128  # default output rows per grid step of the banded-matmul kernel
 
 
 def _tile_r() -> int:
-    """Output-tile height (SDRM_FIR_TILE_R, default 128, multiple of 8).
+    """Output-tile height (SDRM_FIR_TILE_R, default 128, multiple of 128).
 
     Bigger tiles cut both the grid-step count and the k_shift re-read
     factor (reads scale with ceil((tile*stride + taps-1)/tile)): for the
     637-tap DC blocker 256-row tiles read the stream 4x instead of 6x."""
     import os
 
-    return max(128, int(os.environ.get("SDRM_FIR_TILE_R", str(TILE_R))) // 128 * 128)
+    raw = os.environ.get("SDRM_FIR_TILE_R", str(TILE_R))
+    val = int(raw)
+    if val < 128 or val % 128 != 0:
+        raise ValueError(
+            f"SDRM_FIR_TILE_R={raw!r}: must be a positive multiple of 128"
+        )
+    return val
 
 
 def _default_precision():
@@ -77,6 +83,37 @@ def _split_bf16(v: jnp.ndarray):
     hi = v.astype(jnp.bfloat16)
     lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
+
+
+def banded_tile_dot(w, get_block, k_shift: int, precision):
+    """One 128-row output tile: sum_s W[:, s*128:(s+1)*128] @ get_block(s).
+
+    ``get_block(s)`` must return the s-th CONSECUTIVE (128, lanes) input
+    block.  The f32 accumulation order (per-128-input-block, bf16x3 term
+    order) is exactly ``_banded_tm_kernel``'s, so callers assembling the
+    same absolute input blocks get bit-identical outputs to
+    ``conv1d_banded_tm`` — the property the fused front-end kernel
+    (ops/pallas_front.py) relies on."""
+    b0 = get_block(0)
+    acc = jnp.zeros((TILE_R, b0.shape[-1]), jnp.float32)
+    if precision in ("bf16x3", "bf16x2"):
+        w_hi, w_lo = _split_bf16(w)
+        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        for s in range(k_shift):
+            x_hi, x_lo = _split_bf16(b0 if s == 0 else get_block(s))
+            wh = w_hi[:, s * TILE_R : (s + 1) * TILE_R]
+            acc = acc + dot(wh, x_hi) + dot(wh, x_lo)
+            if precision == "bf16x3":
+                acc = acc + dot(w_lo[:, s * TILE_R : (s + 1) * TILE_R], x_hi)
+        return acc
+    for s in range(k_shift):
+        acc = acc + jnp.dot(
+            w[:, s * TILE_R : (s + 1) * TILE_R],
+            b0 if s == 0 else get_block(s),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+    return acc
 
 
 def _banded_tm_kernel(*refs, k_shift: int, precision, tile_r: int = TILE_R):
@@ -129,12 +166,15 @@ def _banded_tm_kernel(*refs, k_shift: int, precision, tile_r: int = TILE_R):
 
 
 @functools.lru_cache(maxsize=None)
-def _band_matrix(rev_taps: tuple, stride: int, k_shift: int, tile_r: int = TILE_R) -> np.ndarray:
-    """(tile_r, k_shift*tile_r) with W[o, o*stride + j] = rev[j]."""
+def _band_matrix(
+    rev_taps: tuple, stride: int, k_shift: int, tile_r: int = TILE_R, offset: int = 0
+) -> np.ndarray:
+    """(tile_r, k_shift*tile_r) with W[o, o*stride + offset + j] = rev[j]."""
     rev = np.asarray(rev_taps, np.float32)
     w = np.zeros((tile_r, k_shift * tile_r), np.float32)
     for o in range(tile_r):
-        w[o, o * stride : o * stride + len(rev)] = rev
+        c0 = o * stride + offset
+        w[o, c0 : c0 + len(rev)] = rev
     return w
 
 
@@ -146,10 +186,16 @@ def conv1d_banded_tm(
     *,
     interpret: bool = False,
     precision=None,
+    col_offset: int = 0,
 ) -> jnp.ndarray:
     """Strided banded-matmul FIR, time-major, MXU formulation without im2col.
 
-    out[k, l] = sum_j x_tm[k*stride + j, l] * rev_taps[j],  k < n_out.
+    out[k, l] = sum_j x_tm[k*stride + col_offset + j, l] * rev_taps[j],
+    k < n_out.  ``col_offset`` (in [0, 128)) shifts the band: callers
+    prepend ``col_offset`` pad rows to x_tm so that the 128-row
+    accumulation-grouping boundaries land on x_tm row 0 mod 128 — the
+    stream-aligned convention shared with the fused front-end kernel,
+    which makes the two paths bit-identical.
 
     Each 128-row output tile is k_shift chained (128,128) MXU matmuls
     against CONSECUTIVE 128-row input blocks — the same HBM array is
@@ -165,8 +211,10 @@ def conv1d_banded_tm(
     r, l = x_tm.shape
     if l % LANES != 0:
         raise ValueError("lane count must be a multiple of 128 (pad the batch)")
+    if not 0 <= col_offset < LANES:
+        raise ValueError("col_offset must be in [0, 128)")
     tr = _tile_r()
-    k_shift = -(-(tr * stride + t - 1) // tr)
+    k_shift = -(-(tr * stride + col_offset + t - 1) // tr)
     g_tiles = -(-n_out // tr)
     lane_tiles = l // LANES
 
@@ -176,7 +224,7 @@ def conv1d_banded_tm(
     elif r > rows_need:
         x_tm = x_tm[:rows_need]
 
-    w = jnp.asarray(_band_matrix(tuple(rev.tolist()), stride, k_shift, tr))
+    w = jnp.asarray(_band_matrix(tuple(rev.tolist()), stride, k_shift, tr, col_offset))
 
     in_specs = [
         pl.BlockSpec(

@@ -290,9 +290,17 @@ def _front_full_halo(x_tm, taps: _PipeTaps, axis_name, lanes, interpret):
     d = cfg.decimation
     p = jax.lax.axis_index(axis_name)
 
+    # stream-aligned convention (zero pad rows + col_offset) — keeps every
+    # 128-row accumulation sub-block on stream row 0 mod 128, matching
+    # DemodPipeline._front_batched_full and the fused kernel bit for bit
+    pad1 = (-(len(taps.t1) - 1)) % 128
     hist1 = _ring_halo(x_tm, len(taps.t1) - 1, axis_name, lanes, p)
-    work1 = jnp.concatenate([hist1, x_tm], axis=0)
-    y1 = conv1d_banded_tm(work1, taps.t1[::-1], 1, b, interpret=interpret)
+    work1 = jnp.concatenate(
+        [jnp.zeros((pad1, x_tm.shape[1]), jnp.float32), hist1, x_tm], axis=0
+    )
+    y1 = conv1d_banded_tm(
+        work1, taps.t1[::-1], 1, b, interpret=interpret, col_offset=pad1
+    )
 
     prev = _ring_halo(y1, 1, axis_name, lanes, p)
     shifted = jnp.concatenate([prev, y1[:-1, :]], axis=0)
@@ -303,14 +311,24 @@ def _front_full_halo(x_tm, taps: _PipeTaps, axis_name, lanes, interpret):
     yq = jnp.float32(cfg.quad_gain) * atan2_dispatch(im, re, taps.use_atan_lut)  # (B, lanes)
 
     n2 = b // d
+    pad2 = (-(len(taps.t2) - 1)) % 128
     hist2 = _ring_halo(yq, len(taps.t2) - 1, axis_name, lanes, p)
-    work2 = jnp.concatenate([hist2, yq], axis=0)
-    y2 = conv1d_banded_tm(work2, taps.t2[::-1], d, n2, interpret=interpret)
+    work2 = jnp.concatenate(
+        [jnp.zeros((pad2, lanes), jnp.float32), hist2, yq], axis=0
+    )
+    y2 = conv1d_banded_tm(
+        work2, taps.t2[::-1], d, n2, interpret=interpret, col_offset=pad2
+    )
 
     if taps.tdc is not None:
+        pad3 = (-(len(taps.tdc) - 1)) % 128
         hist3 = _ring_halo(y2, 4 * cfg.dc_length - 4, axis_name, lanes, p)
-        work3 = jnp.concatenate([hist3, y2], axis=0)
-        y2 = conv1d_banded_tm(work3, taps.tdc[::-1], 1, n2, interpret=interpret)
+        work3 = jnp.concatenate(
+            [jnp.zeros((pad3, lanes), jnp.float32), hist3, y2], axis=0
+        )
+        y2 = conv1d_banded_tm(
+            work3, taps.tdc[::-1], 1, n2, interpret=interpret, col_offset=pad3
+        )
     return y2  # (n2, lanes)
 
 
