@@ -309,8 +309,9 @@ def clock_mm_batched_full(
     Returns (outs (C, n_chunks, K_c), counts (C, n_chunks), new_state).
     """
     n, c = x_tm.shape
-    n_chunks = max(1, -(-n // CHUNK))
-    bounds = [(t * CHUNK, min((t + 1) * CHUNK, n)) for t in range(n_chunks)]
+    chunk = clock_chunk(c)
+    n_chunks = max(1, -(-n // chunk))
+    bounds = [(t * chunk, min((t + 1) * chunk, n)) for t in range(n_chunks)]
     if num_symbols is None:
         # one K for every chunk (so outputs stack), sized by the largest
         cs_max = max(e - s for s, e in bounds)
@@ -332,7 +333,7 @@ def clock_mm_batched_full(
             state.mu,
             state.last_sample,
             state.resid,
-            chunk=CHUNK,
+            chunk=chunk,
             omega_mid=float(np.float32(omega)),
             omega_relative_limit=omega_relative_limit,
             gain_omega=gain_omega,
@@ -375,13 +376,29 @@ def clock_mm_batched_full(
     )
 
 
-# sub-chunk size (rows per sequential grid step of the chunked kernel):
-# bounds the worst-case lane spread a window must cover AND the kernel's
-# VMEM footprint (work buffer + the full-buffer ladder rung's temporaries
-# + double-buffered input/output blocks must fit 16 MB).  Env-tunable:
-# wider lane counts (>128 channels per kernel call) scale every VMEM
-# buffer by ceil(C/128), so e.g. 256 lanes pairs with SDRM_CLOCK_CHUNK=1024
-CHUNK = int(os.environ.get("SDRM_CLOCK_CHUNK", "2048"))
+def clock_chunk(lanes: int = 128) -> int:
+    """Sub-chunk size (rows per sequential grid step of the chunked kernel).
+
+    Bounds the worst-case lane spread a window must cover AND the
+    kernel's VMEM footprint (work buffer + the full-buffer ladder rung's
+    temporaries + double-buffered input/output blocks must fit 16 MB).
+    Every VMEM buffer scales with ceil(lanes/128), so the DEFAULT scales
+    inversely with the lane count (128 lanes -> 2048 rows, 256 -> 1024,
+    ...) to keep the footprint constant; SDRM_CLOCK_CHUNK overrides —
+    read lazily per call like the sibling knobs (SDRM_FIR_TILE_R,
+    SDRM_CLOCK_SHIFT_MAX), so setting it after import works."""
+    raw = os.environ.get("SDRM_CLOCK_CHUNK")
+    if raw is None:
+        lane_tiles = max(1, -(-int(lanes) // 128))
+        val = max(SUFFIX, 2048 * 128 // (lane_tiles * 128) // 8 * 8)
+    else:
+        val = int(raw)
+    if val % 8 != 0 or val < SUFFIX:
+        raise ValueError(
+            f"SDRM_CLOCK_CHUNK={val}: must be a multiple of 8 and >= {SUFFIX} "
+            "(the carried suffix must fit one chunk)"
+        )
+    return val
 
 
 def _clock_full_one(

@@ -69,18 +69,61 @@ def fast_atan2(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(both_zero, jnp.float32(0.0), angle)
 
 
-def fast_atan2_free(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+# Odd polynomial atan(t) ≈ t * P(t²) for the 257 LUT grid points k/255:
+# used where the hardware has no arctangent primitive (Mosaic TC kernels
+# lower neither `atan` nor `atan2`).  The only arguments this ever sees
+# are the grid points (the gather-free LUT evaluates its two bracketing
+# table entries at k/255), so the coefficients are fitted DIRECTLY to the
+# stored reference table (src/math/fast_atan2f.c:23-67 values, rebuilt in
+# taps.atan_table) with an iterative rounding-compensated least squares:
+# float32 Horner evaluation reproduces 202/256 entries bit-exactly and
+# the rest within 1 ulp — the float32 Horner rounding floor, and tighter
+# than jnp.arctan's own backend spread (e.g. 138 entries off on CPU libm
+# at the rounded f32 grid points).
+_ATAN01_COEFFS = (
+    0.9999999403953552,
+    -0.33333373069763184,
+    0.2000221163034439,
+    -0.14311911165714264,
+    0.11232289671897888,
+    -0.09252218902111053,
+    0.07078979164361954,
+    -0.03594571724534035,
+    -0.0033354093320667744,
+    0.02186041697859764,
+    -0.014840391464531422,
+    0.003499554470181465,
+)
+
+
+def atan01_poly(t: jnp.ndarray) -> jnp.ndarray:
+    """atan(t) for t in [0, 1], float32, no transcendental primitive."""
+    t = t.astype(jnp.float32)
+    u = t * t
+    acc = jnp.float32(_ATAN01_COEFFS[-1])
+    for c in _ATAN01_COEFFS[-2::-1]:
+        acc = acc * u + jnp.float32(c)
+    return acc * t
+
+
+def fast_atan2_free(
+    y: jnp.ndarray, x: jnp.ndarray, *, atan01=jnp.arctan
+) -> jnp.ndarray:
     """Gather-free evaluation of the reference LUT arctangent.
 
     Numerically the same function as ``fast_atan2`` (the 257-entry
     piecewise-linear table of reference src/math/fast_atan2f.c:23-150), but
     the two bracketing table entries atan(k/255), atan((k+1)/255) are
-    recomputed on the fly with ``jnp.arctan`` instead of gathered — each
+    recomputed on the fly with ``atan01`` instead of gathered — each
     entry matches the stored float32 table value to <=2 ulp (~1e-7 rad,
     far below the table's own ~1.25e-6 rad interpolation error).  Gathers
     are 10-100x slower than elementwise work on the TPU backend, so this
     is the production-default quad-demod arctangent: reference LUT
     semantics at VPU elementwise cost.
+
+    ``atan01`` evaluates atan on [0, 1]: jnp.arctan in XLA; Pallas
+    kernels pass ``atan01_poly`` (Mosaic has no atan primitive), which
+    tracks jnp.arctan within 1 ulp on the grid points.
     """
     y = y.astype(jnp.float32)
     x = x.astype(jnp.float32)
@@ -95,9 +138,9 @@ def fast_atan2_free(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     frac = alpha - index.astype(jnp.float32)
     inv = jnp.float32(1.0 / 255.0)
     kf = index.astype(jnp.float32)
-    t0 = jnp.arctan(kf * inv)
+    t0 = atan01(kf * inv)
     # table[256] duplicates table[255] as an interpolation guard
-    t1 = jnp.arctan(jnp.minimum(kf + 1.0, jnp.float32(255.0)) * inv)
+    t1 = atan01(jnp.minimum(kf + 1.0, jnp.float32(255.0)) * inv)
     interp = t0 + (t1 - t0) * frac
     tan_map_res = jnp.float32(0.003921569)
     base = jnp.where(z < tan_map_res, z, interp)
@@ -120,17 +163,65 @@ def fast_atan2_free(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(both_zero, jnp.float32(0.0), angle)
 
 
+def atan2_poly(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Plain (non-LUT) atan2 with the LUT's (0,0)->0 rule, built from the
+    polynomial atan — for Pallas kernels where jnp.arctan2 cannot lower.
+    Matches jnp.arctan2 within the polynomial's ~1e-7 rad."""
+    y = y.astype(jnp.float32)
+    x = x.astype(jnp.float32)
+    y_abs, x_abs = jnp.abs(y), jnp.abs(x)
+    both_zero = ~((y_abs > 0.0) | (x_abs > 0.0))
+    denom = jnp.maximum(jnp.maximum(y_abs, x_abs), jnp.float32(1e-45))
+    base = atan01_poly(jnp.minimum(y_abs, x_abs) / denom)
+    pi = jnp.float32(np.pi)
+    half_pi = jnp.float32(np.pi / 2)
+    angle = jnp.where(
+        x_abs > y_abs,
+        jnp.where(
+            x >= 0.0,
+            jnp.where(y >= 0.0, base, -base),
+            jnp.where(y >= 0.0, pi - base, base - pi),
+        ),
+        jnp.where(
+            y >= 0.0,
+            jnp.where(x >= 0.0, half_pi - base, half_pi + base),
+            jnp.where(x >= 0.0, base - half_pi, -half_pi - base),
+        ),
+    )
+    return jnp.where(both_zero, jnp.float32(0.0), angle)
+
+
+def kernel_atan_mode(mode):
+    """Map an atan2_dispatch mode to its Mosaic-lowerable equivalent
+    (Mosaic TC kernels have no atan/atan2 primitive and no gathers).
+    Returns None when the mode has no in-kernel equivalent ("lut")."""
+    if mode == "free":
+        return "free_poly"
+    if mode is False or mode == "atan2":
+        return "atan2_poly"
+    if mode in ("null", "free_poly", "atan2_poly"):
+        return mode
+    return None
+
+
 def atan2_dispatch(im: jnp.ndarray, re: jnp.ndarray, mode) -> jnp.ndarray:
     """Select the quad-demod arctangent.
 
     mode: True / "lut"  -> table gather + lerp (bit path of the reference)
           "free"        -> gather-free LUT (production default on TPU)
+          "free_poly"   -> gather-free LUT with polynomial table entries
+                           (the in-kernel form; tracks "free" within 1 ulp)
           False / "atan2" -> plain arctan2 with the LUT's (0,0) -> 0 rule
+          "atan2_poly"  -> the in-kernel form of "atan2"
     """
     if mode is True or mode == "lut":
         return fast_atan2(im, re)
     if mode == "free":
         return fast_atan2_free(im, re)
+    if mode == "free_poly":
+        return fast_atan2_free(im, re, atan01=atan01_poly)
+    if mode == "atan2_poly":
+        return atan2_poly(im, re)
     if mode == "null":
         # profiling-only: NOT an arctangent (wrong numerics on purpose).
         # Differential timing of the full step with/without the

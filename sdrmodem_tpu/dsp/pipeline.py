@@ -480,13 +480,15 @@ class DemodPipeline:
         )
 
     def fused_front_available(self) -> bool:
-        """The fused kernel needs a legal time tile and a gather-free
-        arctangent (in-kernel table gathers don't exist on TPU)."""
+        """The fused kernel needs a legal time tile and an arctangent
+        mode with an in-kernel equivalent (Mosaic has neither gathers
+        nor an atan primitive — kernel_atan_mode maps what it can)."""
+        from sdrmodem_tpu.dsp.elementwise import kernel_atan_mode
         from sdrmodem_tpu.ops.pallas_front import choose_tile
 
         if self.exact:
             return False
-        if self.use_atan_lut not in ("free", False, "atan2", "null"):
+        if kernel_atan_mode(self.use_atan_lut) is None:
             return False
         return choose_tile(self.block, self.config.decimation) is not None
 

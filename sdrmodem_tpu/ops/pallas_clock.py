@@ -550,6 +550,10 @@ def clock_mm_chunked_tpu(
 
     assert _SUF == SUFFIX
     assert chunk % 8 == 0, "chunk must be sublane-aligned (multiple of 8)"
+    # chunk < SUFFIX would make the suffix hand-off an overlapping
+    # in-place row copy (tail_start = chunk < SUFFIX) and silently
+    # corrupt the carried suffix
+    assert chunk >= SUFFIX, f"chunk ({chunk}) must be >= SUFFIX ({SUFFIX})"
     n, ch = x_tm.shape
     # lane-pad to a vreg-width multiple: the kernel body is parametric in
     # its lane count, and every per-op cost scales with ceil(C/128) vregs

@@ -186,8 +186,10 @@ def _front_kernel(
         )
         y1buf[m * LANES : (m + 1) * LANES, :] = acc
 
-    # ---- stage 2: quadrature demod (conj-multiply + gather-free LUT atan)
-    from sdrmodem_tpu.dsp.elementwise import atan2_dispatch
+    # ---- stage 2: quadrature demod (conj-multiply + gather-free LUT atan;
+    # Mosaic has no atan primitive, so the bracketing table entries come
+    # from the 1-ulp polynomial — kernel_atan_mode maps the mode)
+    from sdrmodem_tpu.dsp.elementwise import atan2_dispatch, kernel_atan_mode
 
     y1 = y1buf[:, :]
     prev = qbuf[0:1, :]
@@ -196,7 +198,9 @@ def _front_kernel(
     si, sq = shifted[:, :cp], shifted[:, cp:]
     re = i * si + q * sq
     im = q * si - i * sq
-    yq = jnp.float32(spec.quad_gain) * atan2_dispatch(im, re, spec.atan_mode)
+    yq = jnp.float32(spec.quad_gain) * atan2_dispatch(
+        im, re, kernel_atan_mode(spec.atan_mode)
+    )
     qbuf[0:1, :] = y1[r - 1 : r, :]
     buf2[h2 : h2 + r, :] = yq
 

@@ -280,8 +280,10 @@ class BatchedRxGroup:
     ``LANES`` (SDRM_SERVER_LANES, default 128, any multiple of 128): the
     clients-per-compiled-step capacity.  The clock kernel is parametric in
     its lane count, so wider groups amortize the latency-bound M&M walk
-    over more clients per step (pair >128 with SDRM_CLOCK_CHUNK=1024 to
-    keep the kernel inside the 16 MB VMEM budget)."""
+    over more clients per step; the clock sub-chunk default scales down
+    automatically with the lane count (dsp/clock_recovery.clock_chunk) so
+    any LANES setting stays inside the 16 MB VMEM budget without a
+    paired SDRM_CLOCK_CHUNK."""
 
     LANES = max(128, -(-int(os.environ.get("SDRM_SERVER_LANES", "128")) // 128) * 128)
 

@@ -183,7 +183,9 @@ def _gmsk_like(baud_sps, n, seed):
 def test_full_path_chunked_blocks_match_ragged():
     """Blocks large enough that the clock runs multiple internal sub-chunks
     (n2 > CHUNK): the chunk hand-off must reproduce the ragged stream."""
-    from sdrmodem_tpu.dsp.clock_recovery import CHUNK
+    from sdrmodem_tpu.dsp.clock_recovery import clock_chunk
+
+    CHUNK = clock_chunk()
 
     cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
     channels, block, nblocks = 2, 4 * CHUNK * 2, 2  # n2 = 4*CHUNK per block
@@ -206,7 +208,9 @@ def test_full_path_divergent_symbol_clocks():
     range: lane read pointers drift apart, exercising the clock kernel's
     window ladder and the per-chunk re-sync.  Pallas (interpret) must
     track the scan backend per lane."""
-    from sdrmodem_tpu.dsp.clock_recovery import CHUNK
+    from sdrmodem_tpu.dsp.clock_recovery import clock_chunk
+
+    CHUNK = clock_chunk()
 
     cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, False)
     channels, block = 2, 2 * CHUNK * 2  # n2 = 2*CHUNK -> 2 sub-chunks

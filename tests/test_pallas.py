@@ -233,9 +233,10 @@ def test_chunked_clock_ragged_and_tiny_blocks_match_scan():
     whose final grid chunk is short (n % CHUNK != 0) and (b) a stream of
     tiny blocks shorter than the carried SUFFIX."""
     from sdrmodem_tpu.dsp.clock_recovery import (
-        CHUNK, SUFFIX, clock_mm_batched_full, initial_full_state,
+        SUFFIX, clock_chunk, clock_mm_batched_full, initial_full_state,
     )
 
+    CHUNK = clock_chunk()
     p = mm_params(5.0)
     kw = dict(
         omega=p["omega"], gain_omega=p["gain_omega"], mu=p["mu"],
@@ -285,7 +286,7 @@ def test_chunked_clock_multi_vreg_lanes_match_scan():
     vregs in ONE kernel call — the sequential M&M walk is latency-bound,
     so extra lanes amortize it.  Must match the scan path per symbol."""
     from sdrmodem_tpu.dsp.clock_recovery import (
-        CHUNK, clock_mm_batched_full, initial_full_state,
+        clock_chunk, clock_mm_batched_full, initial_full_state,
     )
 
     p = mm_params(5.0)
@@ -294,6 +295,7 @@ def test_chunked_clock_multi_vreg_lanes_match_scan():
         gain_mu=p["gain_mu"], omega_relative_limit=p["omega_relative_limit"],
     )
     c = 136
+    CHUNK = clock_chunk(c)
     y = _soft_signals(c, CHUNK + 160, 5.0).T.copy()  # 2 chunks, ragged tail
 
     def run(backend):
