@@ -38,9 +38,19 @@ NSTEPS = taps_mod.MMSE_INTERP_NSTEPS  # 128
 
 # Maximum input tail carried between blocks: the loop stops with
 # ii > L - 8, and a single stride is at most ceil(omega*(1+limit)) + 1,
-# so the un-consumed tail is < 8 + max_stride.  16 covers sps <= 8; use
-# a generous fixed capacity so state shapes are static.
-TAIL_CAP = 32
+# so the un-consumed tail is < 8 + max_stride.  The state capacity is
+# DERIVED from omega at construction (the reference carries a
+# variable-length history with no bound, src/dsp/clock_recovery_mm.c:
+# 127-135); the floors keep the historical state shapes (and checkpoint
+# compatibility) for the common sps ranges.
+TAIL_CAP = 32  # floor: covers sps <= ~22
+
+
+def tail_cap_for(omega: float, omega_relative_limit: float = 0.01) -> int:
+    """Tail capacity (multiple of 8) provably >= the largest unconsumed
+    tail for this omega: NTAPS + ceil(omega*(1+limit)) + 1."""
+    need = NTAPS + int(np.ceil(float(omega) * (1.0 + omega_relative_limit))) + 2
+    return max(TAIL_CAP, -(-need // 8) * 8)
 
 
 class ClockState(NamedTuple):
@@ -51,10 +61,39 @@ class ClockState(NamedTuple):
     tail_len: jnp.ndarray  # () i32
 
 
-# Fixed-size suffix carried by the full-block fast path.  SUFFIX >= the
-# largest possible unconsumed tail (NTAPS + max stride), and a multiple of
-# 8 so the pallas tile stays sublane-aligned.
+# Fixed-size suffix carried by the full-block fast path.  SUFFIX is the
+# FLOOR (covers sps <= ~53); the actual capacity is derived from omega at
+# state construction (suffix_cap_for), always a multiple of 8 so the
+# pallas tile stays sublane-aligned.
 SUFFIX = 64
+
+
+def suffix_cap_for(omega: float, omega_relative_limit: float = 0.01) -> int:
+    """Suffix capacity (multiple of 8) provably >= the largest unconsumed
+    tail for this omega — the full-block analog of ``tail_cap_for``."""
+    need = NTAPS + int(np.ceil(float(omega) * (1.0 + omega_relative_limit))) + 2
+    return max(SUFFIX, -(-need // 8) * 8)
+
+
+# Largest supported samples-per-symbol: the chunked kernel's VMEM
+# footprint (work buffer + window ladder) grows ~linearly with omega via
+# the per-group consumption budget (8 symbols x ~omega-sample strides),
+# so an explicit contract bound replaces a silent state-capacity clip
+# (the reference carries an unbounded malloc'd history instead,
+# src/dsp/clock_recovery_mm.c:127-135).  512 sps is far past any real
+# GMSK configuration (the fixtures run 4.8-25); beyond it, raise/reject
+# with guidance to increase demod_decimation.
+MAX_SPS = 512.0
+
+
+def check_sps_supported(omega: float) -> None:
+    if float(omega) > MAX_SPS:
+        raise ValueError(
+            f"samples-per-symbol {float(omega):.1f} exceeds the supported "
+            f"bound {MAX_SPS:.0f} (clock state/VMEM budget); increase "
+            "demod_decimation so Fs/baud/decimation <= "
+            f"{MAX_SPS:.0f}"
+        )
 
 
 class ClockFullState(NamedTuple):
@@ -84,7 +123,7 @@ def initial_full_state(omega: float, channels: int, mu: float = 0.5) -> ClockFul
         omega=jnp.full((channels,), omega, jnp.float32),
         mu=jnp.full((channels,), mu, jnp.float32),
         last_sample=jnp.zeros((channels,), jnp.float32),
-        suffix=jnp.zeros((SUFFIX, channels), jnp.float32),
+        suffix=jnp.zeros((suffix_cap_for(omega), channels), jnp.float32),
         resid=jnp.zeros((channels,), jnp.int32),
         overflow=jnp.zeros((channels,), jnp.float32),
     )
@@ -107,7 +146,7 @@ def initial_state(omega: float, mu: float = 0.5) -> ClockState:
         omega=jnp.float32(omega),
         mu=jnp.float32(mu),
         last_sample=jnp.float32(0.0),
-        tail=jnp.zeros(TAIL_CAP, jnp.float32),
+        tail=jnp.zeros(tail_cap_for(omega), jnp.float32),
         tail_len=jnp.int32(0),
     )
 
@@ -155,31 +194,44 @@ def clock_mm_stream(
     ln = x.shape[-1]
     if state is None:
         state = initial_state(omega, mu)
-        work = jnp.concatenate([x.astype(jnp.float32), jnp.zeros(TAIL_CAP, jnp.float32)])
+        cap = state.tail.shape[0]  # capacity derives from omega (tail_cap_for)
+        work = jnp.concatenate([x.astype(jnp.float32), jnp.zeros(cap, jnp.float32)])
         base_valid = jnp.asarray(ln if n_valid is None else n_valid, jnp.int32)
+        ii0 = jnp.int32(0)
     else:
+        cap = state.tail.shape[0]
+        # tail_len < 0 encodes a SKIP: the previous block's final stride
+        # overshot its end by -tail_len samples, so this block starts its
+        # read pointer there instead of at 0.  (The reference instead
+        # rewinds to the previously processed position on overshoot,
+        # src/dsp/clock_recovery_mm.c:126-131 — making its output depend
+        # on the buffer size whenever sps > 8.  Carrying the exact
+        # overshoot keeps the symbol trajectory block-size-invariant,
+        # which the time-sharded paths rely on.)
+        tl = jnp.maximum(state.tail_len, 0)
+        ii0 = jnp.maximum(-state.tail_len, 0).astype(jnp.int32)
         # work = [tail, x, pad]; valid length = tail_len + n_valid
         work = jnp.concatenate(
-            [state.tail, x.astype(jnp.float32), jnp.zeros(TAIL_CAP, jnp.float32)]
+            [state.tail, x.astype(jnp.float32), jnp.zeros(cap, jnp.float32)]
         )
         # left-align [tail[:tail_len], x, ...]: positions >= tail_len skip the
         # unused remainder of the fixed-capacity tail buffer
         i = jnp.arange(work.shape[0])
-        idx = jnp.where(i < state.tail_len, i, i + (TAIL_CAP - state.tail_len))
+        idx = jnp.where(i < tl, i, i + (cap - tl))
         work = jnp.take(work, jnp.clip(idx, 0, work.shape[0] - 1))
-        base_valid = state.tail_len + jnp.asarray(
+        base_valid = tl + jnp.asarray(
             ln if n_valid is None else n_valid, jnp.int32
         )
 
     if num_symbols is None:
         num_symbols = max_symbols(
-            ln + TAIL_CAP, float(omega_mid), omega_relative_limit, gain_mu
+            ln + cap, float(omega_mid), omega_relative_limit, gain_mu
         )
 
     (ii_f, mu_f, omega_f, last_f, count), outs = _mm_scan_core(
         work,
         base_valid,
-        jnp.int32(0),
+        ii0,
         jnp.asarray(state.mu, jnp.float32),
         jnp.asarray(state.omega, jnp.float32),
         jnp.asarray(state.last_sample, jnp.float32),
@@ -190,15 +242,17 @@ def clock_mm_stream(
         num_symbols=int(num_symbols),
     )
 
-    # Tail hand-off (reference :127-135): keep work[last_index:valid_len],
-    # where last_index rewinds to the previously processed position if the
-    # final stride overshot the buffer.
+    # Tail hand-off: keep work[ii_f:valid_len].  When the final stride
+    # overshot the block end (ii_f > valid, possible whenever sps > 8),
+    # tail_len goes NEGATIVE — the exact skip into the next block —
+    # instead of the reference's rewind-to-previous (:126-131), keeping
+    # the output block-size-invariant (see the skip note above).
     lmax = work.shape[0]
     last_index = jnp.minimum(ii_f, base_valid)
-    tail_len = jnp.clip(base_valid - last_index, 0, TAIL_CAP)
-    start = jnp.clip(last_index, 0, lmax - TAIL_CAP)
-    tail = jax.lax.dynamic_slice(work, (start,), (TAIL_CAP,))
-    tail = jnp.where(jnp.arange(TAIL_CAP) < tail_len, tail, 0.0)
+    tail_len = jnp.minimum(base_valid - ii_f, cap)
+    start = jnp.clip(last_index, 0, lmax - cap)
+    tail = jax.lax.dynamic_slice(work, (start,), (cap,))
+    tail = jnp.where(jnp.arange(cap) < jnp.maximum(tail_len, 0), tail, 0.0)
 
     new_state = ClockState(omega_f, mu_f, last_f, tail, tail_len.astype(jnp.int32))
     return outs, count, new_state
@@ -309,14 +363,15 @@ def clock_mm_batched_full(
     Returns (outs (C, n_chunks, K_c), counts (C, n_chunks), new_state).
     """
     n, c = x_tm.shape
-    chunk = clock_chunk(c)
+    sfx = state.suffix.shape[0]  # capacity derives from omega (suffix_cap_for)
+    chunk = max(clock_chunk(c), sfx)
     n_chunks = max(1, -(-n // chunk))
     bounds = [(t * chunk, min((t + 1) * chunk, n)) for t in range(n_chunks)]
     if num_symbols is None:
         # one K for every chunk (so outputs stack), sized by the largest
         cs_max = max(e - s for s, e in bounds)
         num_symbols = max_symbols(
-            cs_max + SUFFIX, float(np.float32(omega)), omega_relative_limit, gain_mu
+            cs_max + sfx, float(np.float32(omega)), omega_relative_limit, gain_mu
         )
 
     if backend == "pallas":
@@ -342,10 +397,10 @@ def clock_mm_batched_full(
             tile=tile,
             interpret=interpret,
         )
-        if n >= SUFFIX:
-            suffix = x_tm[-SUFFIX:, :]
+        if n >= sfx:
+            suffix = x_tm[-sfx:, :]
         else:
-            suffix = jnp.concatenate([state.suffix, x_tm], axis=0)[-SUFFIX:, :]
+            suffix = jnp.concatenate([state.suffix, x_tm], axis=0)[-sfx:, :]
         new_state = ClockFullState(
             fin["omega"], fin["mu"], fin["last"], suffix.astype(jnp.float32),
             fin["resid"], state.overflow + jnp.sum(ovf, axis=0),
@@ -416,17 +471,18 @@ def _clock_full_one(
     tile=None,
 ):
     n, c = x_tm.shape
+    sfx = state.suffix.shape[0]
     omega_mid = np.float32(omega)
     omega_lim = np.float32(omega_mid * np.float32(omega_relative_limit))
     if num_symbols is None:
         num_symbols = max_symbols(
-            n + SUFFIX, float(omega_mid), omega_relative_limit, gain_mu
+            n + sfx, float(omega_mid), omega_relative_limit, gain_mu
         )
 
     work = jnp.concatenate([state.suffix, x_tm.astype(jnp.float32)], axis=0)
-    w = n + SUFFIX
+    w = n + sfx
     base_valid = jnp.full((c,), w, jnp.int32)
-    ii0 = (jnp.int32(SUFFIX) - state.resid.astype(jnp.int32)).astype(jnp.int32)
+    ii0 = (jnp.int32(sfx) - state.resid.astype(jnp.int32)).astype(jnp.int32)
 
     overflowed = jnp.zeros((c,), jnp.float32)
     if backend == "pallas":
@@ -481,9 +537,12 @@ def _clock_full_one(
             work.T, ii0, state.mu, state.omega, state.last_sample
         )
 
-    resid = jnp.clip(jnp.int32(w) - jnp.minimum(ii_f, w), 0, SUFFIX - 1)
+    # negative resid = the final stride overshot the block end: the next
+    # block starts its read pointer sfx - resid > sfx samples in (exact
+    # continuation instead of the reference's rewind, see clock_mm_stream)
+    resid = jnp.minimum(jnp.int32(w) - ii_f, sfx - 1)
     new_state = ClockFullState(
-        omega_f, mu_f, last_f, work[-SUFFIX:, :], resid.astype(jnp.int32),
+        omega_f, mu_f, last_f, work[-sfx:, :], resid.astype(jnp.int32),
         state.overflow + overflowed,
     )
     return outs, counts, new_state
@@ -510,21 +569,26 @@ def clock_mm_batched_pallas(
     from sdrmodem_tpu.ops.pallas_clock import clock_mm_tpu
 
     c, n = x.shape
+    cap = state.tail.shape[-1]  # capacity derives from omega (tail_cap_for)
     omega_mid = np.float32(omega)
     if num_symbols is None:
-        num_symbols = max_symbols(n + TAIL_CAP, float(omega_mid), omega_relative_limit, gain_mu)
+        num_symbols = max_symbols(n + cap, float(omega_mid), omega_relative_limit, gain_mu)
 
     # assemble [tail[:tail_len], x, zeros] per channel: two block copies
     # per channel instead of a gather (vmapped dynamic_update_slice)
-    w = n + 2 * TAIL_CAP
+    w = n + 2 * cap
+
+    # tail_len < 0 encodes a skip into this block (see clock_mm_stream)
+    tl = jnp.maximum(state.tail_len, 0)
+    ii0 = jnp.maximum(-state.tail_len, 0).astype(jnp.int32)
 
     def assemble(tail, tail_len, row):
         buf = jnp.zeros((w,), jnp.float32)
         buf = jax.lax.dynamic_update_slice(buf, tail, (0,))
         return jax.lax.dynamic_update_slice(buf, row, (tail_len.astype(jnp.int32),))
 
-    work = jax.vmap(assemble)(state.tail, state.tail_len, x.astype(jnp.float32))
-    base_valid = state.tail_len + n_valid.astype(jnp.int32)
+    work = jax.vmap(assemble)(state.tail, tl, x.astype(jnp.float32))
+    base_valid = tl + n_valid.astype(jnp.int32)
     work = jnp.where(jnp.arange(w)[None, :] < base_valid[:, None], work, 0.0)
 
     from sdrmodem_tpu.ops.pallas_clock import full_tile
@@ -536,6 +600,7 @@ def clock_mm_batched_pallas(
             state.omega,
             state.mu,
             state.last_sample,
+            ii0,
             omega_mid=float(omega_mid),
             omega_relative_limit=omega_relative_limit,
             gain_omega=gain_omega,
@@ -556,12 +621,14 @@ def clock_mm_batched_pallas(
     )
 
     last_index = jnp.minimum(fin["ii"], base_valid)
-    tail_len = jnp.clip(base_valid - last_index, 0, TAIL_CAP)
-    start = jnp.clip(last_index, 0, w - TAIL_CAP).astype(jnp.int32)
-    tail = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (TAIL_CAP,)))(
+    tail_len = jnp.minimum(base_valid - fin["ii"], cap)
+    start = jnp.clip(last_index, 0, w - cap).astype(jnp.int32)
+    tail = jax.vmap(lambda row, s: jax.lax.dynamic_slice(row, (s,), (cap,)))(
         work, start
     )
-    tail = jnp.where(jnp.arange(TAIL_CAP)[None, :] < tail_len[:, None], tail, 0.0)
+    tail = jnp.where(
+        jnp.arange(cap)[None, :] < jnp.maximum(tail_len, 0)[:, None], tail, 0.0
+    )
     new_state = ClockState(
         fin["omega"], fin["mu"], fin["last"], tail, tail_len.astype(jnp.int32)
     )

@@ -108,6 +108,9 @@ class FskDemodulator:
         self._lpf2 = config.lpf2_taps()
         self._dc = dc_blocker_taps(config.dc_length) if config.use_dc_block else None
         self._clock = config.clock_params()
+        from sdrmodem_tpu.dsp.clock_recovery import check_sps_supported
+
+        check_sps_supported(self._clock["omega"])  # explicit contract bound
 
     def soft_stream(self, iq: jnp.ndarray, clock_state: ClockState | None = None):
         """Demodulate to float soft symbols. iq: (..., N) complex64."""

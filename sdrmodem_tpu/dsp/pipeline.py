@@ -160,6 +160,9 @@ class DemodPipeline:
             else None
         )
         self._clockp = config.clock_params()
+        from sdrmodem_tpu.dsp.clock_recovery import check_sps_supported
+
+        check_sps_supported(self._clockp["omega"])  # explicit contract bound
         d = config.decimation
         self.max_mid = self.block  # lpf1 output bound
         self.max_dec = (self.block + d - 1) // d + 1

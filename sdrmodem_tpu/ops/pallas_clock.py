@@ -272,16 +272,22 @@ def _span_budget(omega_mid: float) -> int:
     return NTAPS + UNROLL * max_stride
 
 
-def required_tile(num_symbols: int, omega_mid: float, omega_relative_limit: float) -> int:
-    """Worst-case window: lanes start a block within SUFFIX samples of each
-    other (the full-block suffix hand-off) and their positions diverge at
-    most 2*omega_mid*omega_relative_limit samples per symbol (each lane's
-    omega is hard-clipped to the ±limit rails) plus bounded per-symbol
-    jitter from the mu update and floor() quantisation (non-cumulative,
-    covered by the +0.15/symbol margin and the +16 constant headroom).
-    Add the group's own consumption budget."""
+def required_tile(
+    num_symbols: int,
+    omega_mid: float,
+    omega_relative_limit: float,
+    suffix_rows: int = SUFFIX,
+) -> int:
+    """Worst-case window: lanes start a block within ``suffix_rows``
+    samples of each other (the full-block suffix hand-off; sized from
+    omega by clock_recovery.suffix_cap_for) and their positions diverge
+    at most 2*omega_mid*omega_relative_limit samples per symbol (each
+    lane's omega is hard-clipped to the ±limit rails) plus bounded
+    per-symbol jitter from the mu update and floor() quantisation
+    (non-cumulative, covered by the +0.15/symbol margin and the +16
+    constant headroom).  Add the group's own consumption budget."""
     drift = 2.0 * omega_mid * omega_relative_limit + 0.15
-    spread = 64.0 + drift * num_symbols + 16.0
+    spread = float(suffix_rows) + drift * num_symbols + 16.0
     need = int(np.ceil((spread + _span_budget(omega_mid)) / 128.0)) * 128
     return max(need, 2 * SUB)
 
@@ -305,6 +311,7 @@ def _mm_chunked_kernel(
     carry_ref,  # scratch (8, C) f32 rows: omega, mu, last, ii, count
     *,
     chunk: int,
+    sfx: int,
     n_total: int,
     num_groups: int,
     tile: int,
@@ -339,16 +346,16 @@ def _mm_chunked_kernel(
 
     @pl.when(g == 0)
     def _():
-        work_ref[0:SUFFIX, :] = suffix_ref[:, :]
+        work_ref[0:sfx, :] = suffix_ref[:, :]
         carry_ref[0:3, :] = state_ref[0:3, :]
-        carry_ref[3, :] = jnp.float32(SUFFIX) - state_ref[3, :]  # ii = SUFFIX-resid
+        carry_ref[3, :] = jnp.float32(sfx) - state_ref[3, :]  # ii = sfx-resid
         carry_ref[4:, :] = jnp.zeros((4, c), jnp.float32)
-        # zero tail padding once; rows past SUFFIX+chunk are never written
-        work_ref[SUFFIX + chunk :, :] = jnp.zeros((lp - SUFFIX - chunk, c), jnp.float32)
+        # zero tail padding once; rows past sfx+chunk are never written
+        work_ref[sfx + chunk :, :] = jnp.zeros((lp - sfx - chunk, c), jnp.float32)
 
-    work_ref[SUFFIX : SUFFIX + chunk, :] = x_ref[:, :]
+    work_ref[sfx : sfx + chunk, :] = x_ref[:, :]
     # valid rows this chunk (the final chunk of a ragged block is shorter)
-    wv = jnp.float32(SUFFIX) + jnp.minimum(
+    wv = jnp.float32(sfx) + jnp.minimum(
         jnp.float32(chunk), jnp.float32(n_total) - g.astype(jnp.float32) * chunk
     )
     outs_ref[:, :] = jnp.zeros((k_pad, c), jnp.float32)
@@ -508,17 +515,19 @@ def _mm_chunked_kernel(
     # inter-chunk hand-off: rebase ii against the carried suffix and pull
     # the last SUFFIX valid rows to the front of the work buffer
     ii = carry_ref[3, :]
-    resid = jnp.clip(wv - jnp.minimum(ii, wv), 0.0, jnp.float32(SUFFIX - 1))
-    carry_ref[3, :] = jnp.float32(SUFFIX) - resid
+    # negative resid = overshoot skip into the next chunk (exact
+    # continuation; see clock_mm_stream's block-size-invariance note)
+    resid = jnp.minimum(wv - ii, jnp.float32(sfx - 1))
+    carry_ref[3, :] = jnp.float32(sfx) - resid
     state_out_ref[0:3, :] = carry_ref[0:3, :]
     state_out_ref[3, :] = resid
     state_out_ref[4:, :] = jnp.zeros((4, c), jnp.float32)
-    # 8-aligned for Mosaic's static alignment proof: wv = SUFFIX + chunk on
+    # 8-aligned for Mosaic's static alignment proof: wv = sfx + chunk on
     # every chunk that HAS a successor (both multiples of 8), so the
     # align-down only alters the final chunk's tail — which no grid step
     # reads (the host-side wrapper recomputes the next block's suffix)
-    tail_start = ((wv.astype(jnp.int32) - SUFFIX) // 8) * 8
-    work_ref[0:SUFFIX, :] = work_ref[pl.ds(tail_start, SUFFIX), :]
+    tail_start = ((wv.astype(jnp.int32) - sfx) // 8) * 8
+    work_ref[0:sfx, :] = work_ref[pl.ds(tail_start, sfx), :]
 
 
 def clock_mm_chunked_tpu(
@@ -546,14 +555,13 @@ def clock_mm_chunked_tpu(
     tile makes the overflow flag trip while the full-buffer rung keeps
     the output correct).
     """
-    from sdrmodem_tpu.dsp.clock_recovery import SUFFIX as _SUF
-
-    assert _SUF == SUFFIX
+    sfx_rows = int(suffix.shape[0])
+    assert sfx_rows % 8 == 0, "suffix rows must be a multiple of 8"
     assert chunk % 8 == 0, "chunk must be sublane-aligned (multiple of 8)"
-    # chunk < SUFFIX would make the suffix hand-off an overlapping
-    # in-place row copy (tail_start = chunk < SUFFIX) and silently
+    # chunk < suffix would make the suffix hand-off an overlapping
+    # in-place row copy (tail_start = chunk < suffix) and silently
     # corrupt the carried suffix
-    assert chunk >= SUFFIX, f"chunk ({chunk}) must be >= SUFFIX ({SUFFIX})"
+    assert chunk >= sfx_rows, f"chunk ({chunk}) must be >= suffix ({sfx_rows})"
     n, ch = x_tm.shape
     # lane-pad to a vreg-width multiple: the kernel body is parametric in
     # its lane count, and every per-op cost scales with ceil(C/128) vregs
@@ -565,14 +573,14 @@ def clock_mm_chunked_tpu(
     num_groups = -(-int(num_symbols) // UNROLL)
     k_pad = num_groups * UNROLL
     if tile is None:
-        tile = required_tile(num_symbols, omega_mid, omega_relative_limit)
+        tile = required_tile(num_symbols, omega_mid, omega_relative_limit, sfx_rows)
     max_stride = int(np.ceil(omega_mid * 1.02)) + 2
     span_budget = NTAPS + UNROLL * max_stride
-    lp = -(-(SUFFIX + chunk + span_budget + 8) // 128) * 128
+    lp = -(-(sfx_rows + chunk + span_budget + 8) // 128) * 128
 
     yt = jnp.zeros((n_pad, cp), jnp.float32)
     yt = jax.lax.dynamic_update_slice(yt, x_tm.astype(jnp.float32), (0, 0))
-    sfx = jnp.zeros((SUFFIX, cp), jnp.float32)
+    sfx = jnp.zeros((sfx_rows, cp), jnp.float32)
     sfx = jax.lax.dynamic_update_slice(sfx, suffix.astype(jnp.float32), (0, 0))
 
     state = jnp.zeros((8, cp), jnp.float32)
@@ -588,6 +596,7 @@ def clock_mm_chunked_tpu(
             functools.partial(
                 _mm_chunked_kernel,
                 chunk=int(chunk),
+                sfx=sfx_rows,
                 n_total=int(n),
                 num_groups=num_groups,
                 tile=tile,
@@ -606,7 +615,7 @@ def clock_mm_chunked_tpu(
             in_specs=[
                 pl.BlockSpec((chunk, cp), lambda g: (g, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (SUFFIX, cp), lambda g: (0, 0), memory_space=pltpu.VMEM
+                    (sfx_rows, cp), lambda g: (0, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec((8, cp), lambda g: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((8, 8), lambda g: (0, 0), memory_space=pltpu.VMEM),

@@ -42,6 +42,15 @@ def validate_rx_request(req: wire.RxRequest, config: ServerConfig) -> bool:
         return False
     if req.fsk_settings is None or req.fsk_settings.demod_fsk_transition_width == 0:
         return False
+    # TPU-build contract bound: the clock state capacity derives from
+    # samples-per-symbol; beyond MAX_SPS the request is rejected cleanly
+    # instead of silently dropping unconsumed samples (the reference's
+    # unbounded history has no such limit, clock_recovery_mm.c:127-135)
+    from sdrmodem_tpu.dsp.clock_recovery import MAX_SPS
+
+    sps = req.rx_sampling_freq / req.demod_baud_rate / req.demod_decimation
+    if sps > MAX_SPS:
+        return False
     return True
 
 
