@@ -16,9 +16,19 @@ chain.  Prints ONE JSON line.
 
 import json
 import os
+import pathlib
 import time
 
 import numpy as np
+
+
+def _fixture(name: str) -> str:
+    """A golden fixture: the reference checkout if present, else the
+    vendored byte-identical copy in tests/fixtures."""
+    ref = pathlib.Path("/root/reference/test/resources") / name
+    if ref.exists():
+        return str(ref)
+    return str(pathlib.Path(__file__).resolve().parent / "tests" / "fixtures" / name)
 
 
 def main() -> None:
@@ -54,9 +64,7 @@ def main() -> None:
     # input: the recorded capture tiled across channels/time (falls back to
     # noise when the fixture tree is absent)
     try:
-        iq = np.fromfile(
-            "/root/reference/test/resources/lucky7.expected.cf32", dtype=np.complex64
-        )
+        iq = np.fromfile(_fixture("lucky7.expected.cf32"), dtype=np.complex64)
     except FileNotFoundError:
         rng = np.random.default_rng(0)
         iq = (rng.standard_normal(1 << 17) + 1j * rng.standard_normal(1 << 17)).astype(
@@ -118,9 +126,7 @@ def main() -> None:
     # the full four-fixture suite.
     if mode == "full" and os.environ.get("SDRM_BENCH_PARITY", "1") != "0":
         try:
-            golden = np.fromfile(
-                "/root/reference/test/resources/lucky7.expected.s8", dtype=np.int8
-            )
+            golden = np.fromfile(_fixture("lucky7.expected.s8"), dtype=np.int8)
             padded = np.zeros(-(-len(iq) // block) * block, np.complex64)
             padded[: len(iq)] = iq
             pstate = pipe.init_full_state(channels)

@@ -20,15 +20,27 @@ import pathlib
 import pytest
 
 REFERENCE_DIR = pathlib.Path(os.environ.get("SDRM_REFERENCE_DIR", "/root/reference"))
+FIXTURES_DIR = pathlib.Path(__file__).resolve().parent / "fixtures"
 
 
 @pytest.fixture(scope="session")
 def reference_dir() -> pathlib.Path:
+    """The upstream C checkout — only for tests that cross-validate the
+    VENDORED fixtures/tables against the original sources; everything
+    else runs from tests/fixtures and needs no checkout."""
     if not REFERENCE_DIR.exists():
         pytest.skip("reference checkout not available")
     return REFERENCE_DIR
 
 
 @pytest.fixture(scope="session")
-def resources_dir(reference_dir) -> pathlib.Path:
-    return reference_dir / "test" / "resources"
+def fixtures_dir() -> pathlib.Path:
+    return FIXTURES_DIR
+
+
+@pytest.fixture(scope="session")
+def resources_dir() -> pathlib.Path:
+    """Golden fixture directory: the vendored copy (tests/fixtures),
+    byte-identical to the reference's test/resources (asserted by
+    test_vendored_fixtures_match_reference when the checkout exists)."""
+    return FIXTURES_DIR

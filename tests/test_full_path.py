@@ -8,6 +8,8 @@ produce EXACTLY the ragged path's symbols — same conv formulation, same
 scan core, same window values at shifted positions.
 """
 
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -220,7 +222,8 @@ def test_full_path_divergent_symbol_clocks():
     # instead, drive the whole chain with per-channel resampled captures.
     # simpler: different true baud -> different effective sps at the clock
     iq0 = np.fromfile(
-        "/root/reference/test/resources/lucky7.expected.cf32", np.complex64
+        pathlib.Path(__file__).resolve().parent / "fixtures" / "lucky7.expected.cf32",
+        np.complex64
     )
     n = 2 * block
     a = iq0[:n]

@@ -5,8 +5,6 @@ the recorded captures and compare int8 soft symbols within ±2 LSB; modulate
 a known byte pattern and compare the complex baseband within 0.01.
 """
 
-import re
-
 import numpy as np
 import pytest
 
@@ -30,6 +28,20 @@ CASES = [
         "lucky7.expected.nodc.s8",
     ),
 ]
+
+
+def test_vendored_fixtures_match_reference(reference_dir, fixtures_dir):
+    """Every vendored binary fixture is byte-identical to the reference's
+    test/resources copy (guards fixture drift; runs only when the
+    upstream checkout is available)."""
+    ref = reference_dir / "test" / "resources"
+    checked = 0
+    for f in sorted(fixtures_dir.iterdir()):
+        src = ref / f.name
+        if src.exists():
+            assert f.read_bytes() == src.read_bytes(), f.name
+            checked += 1
+    assert checked >= 18
 
 
 @pytest.mark.parametrize("name,cfg,fin,fexp", CASES, ids=[c[0] for c in CASES])
@@ -64,10 +76,8 @@ def test_fsk_demod_batched_channels(resources_dir):
         assert diff.max() <= 2 and (diff > 0).mean() < 0.01
 
 
-def test_gfsk_mod_golden(reference_dir):
-    src = (reference_dir / "test" / "test_gfsk_mod.c").read_text()
-    m = re.search(r"expected\[320\] = \{(.*?)\};", src, re.S)
-    vals = np.array([float(v.strip().rstrip("F")) for v in m.group(1).split(",")], np.float32)
+def test_gfsk_mod_golden(fixtures_dir):
+    vals = np.load(fixtures_dir / "gfsk_mod_expected320.npy")
     expected = vals[0::2] + 1j * vals[1::2]
 
     cfg = GfskModConfig.from_radio(19200, 9600, 5000)
@@ -124,13 +134,11 @@ def test_ber_with_frequency_offset():
     assert ber < 0.01  # DC blocker absorbs a small carrier offset
 
 
-def test_gfsk_mod_pair_fast_golden(reference_dir):
+def test_gfsk_mod_pair_fast_golden(fixtures_dir):
     """The production (two-level f32 VCO) TX pair path matches the
     reference's 320-float golden within the complex tolerance (0.01,
     reference test/utils.c:134-140)."""
-    src = (reference_dir / "test" / "test_gfsk_mod.c").read_text()
-    m = re.search(r"expected\[320\] = \{(.*?)\};", src, re.S)
-    vals = np.array([float(v.strip().rstrip("F")) for v in m.group(1).split(",")], np.float32)
+    vals = np.load(fixtures_dir / "gfsk_mod_expected320.npy")
 
     cfg = GfskModConfig.from_radio(19200, 9600, 5000)
     i, q, _ = GfskModulator(cfg).process_pair(jnp.asarray(np.arange(10, dtype=np.uint8)))

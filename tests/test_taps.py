@@ -65,12 +65,10 @@ def _parse_c_float_table(text: str, pattern: str) -> np.ndarray:
     return np.array([float(v) for v in vals], np.float32)
 
 
-def test_mmse_table_matches_reference(reference_dir):
+def test_mmse_table_matches_reference(fixtures_dir):
     """The generated 129x8 bank must equal the C table (reversed rows)."""
-    src = (reference_dir / "src/dsp/mmse_fir_interpolator.c").read_text()
-    table = _parse_c_float_table(src, r"float taps\[129\]\[8\] = \{(.*?)\};")
-    assert table.size == 129 * 8
-    c_rows = table.reshape(129, 8)
+    c_rows = np.load(fixtures_dir / "mmse_interp_table.npy")
+    assert c_rows.shape == (129, 8)
     mine = T.mmse_interp_taps()
     # our rows are window-ordered = reference rows reversed; the solver
     # reproduces the printed table exactly for >99% of entries, with the
@@ -80,11 +78,23 @@ def test_mmse_table_matches_reference(reference_dir):
     assert (mine == ref).mean() > 0.99
 
 
-def test_atan_table_matches_reference(reference_dir):
-    src = (reference_dir / "src/math/fast_atan2f.c").read_text()
-    table = _parse_c_float_table(src, r"fast_atan_table\[257\] = \{(.*?)\};")
+def test_atan_table_matches_reference(fixtures_dir):
+    table = np.load(fixtures_dir / "atan_table.npy")
     assert table.size == 257
     np.testing.assert_allclose(T.atan_table(), table, atol=6e-7)
+
+
+def test_vendored_tables_match_reference_sources(reference_dir, fixtures_dir):
+    """The vendored .npy tables are verbatim extractions of the reference
+    C sources (re-parsed here when the checkout is available)."""
+    src = (reference_dir / "src/dsp/mmse_fir_interpolator.c").read_text()
+    table = _parse_c_float_table(src, r"float taps\[129\]\[8\] = \{(.*?)\};")
+    np.testing.assert_array_equal(
+        table.reshape(129, 8), np.load(fixtures_dir / "mmse_interp_table.npy")
+    )
+    src = (reference_dir / "src/math/fast_atan2f.c").read_text()
+    table = _parse_c_float_table(src, r"fast_atan_table\[257\] = \{(.*?)\};")
+    np.testing.assert_array_equal(table, np.load(fixtures_dir / "atan_table.npy"))
 
 
 def test_polyphase_roundtrip():

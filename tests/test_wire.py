@@ -1,6 +1,7 @@
 """Wire codec interop: our hand-written proto2 codec must be byte-compatible
 with protobuf code generated from the reference's api.proto."""
 
+import pathlib
 import shutil
 import subprocess
 import sys
@@ -46,11 +47,14 @@ def test_negative_int64_encoding():
 
 
 @pytest.fixture(scope="module")
-def api_pb2(reference_dir, tmp_path_factory):
+def api_pb2(tmp_path_factory):
+    # the vendored protocol definition (resources/api.proto, verbatim the
+    # reference's api.proto — asserted in test_vendored_proto below)
+    proto = pathlib.Path(__file__).resolve().parents[1] / "resources" / "api.proto"
     if shutil.which("protoc") is None:
         pytest.skip("protoc not available")
     out = tmp_path_factory.mktemp("pb")
-    shutil.copy(reference_dir / "api.proto", out / "api.proto")
+    shutil.copy(proto, out / "api.proto")
     subprocess.run(
         ["protoc", f"--python_out={out}", "api.proto"], cwd=out, check=True
     )
@@ -172,3 +176,9 @@ def test_fuzz_decode_garbage_raises_not_crashes():
                 msg.decode(blob)
             except W.WireError:
                 pass
+
+
+def test_vendored_proto_matches_reference(reference_dir):
+    """resources/api.proto is verbatim the reference's protocol file."""
+    mine = (pathlib.Path(__file__).resolve().parents[1] / "resources" / "api.proto").read_bytes()
+    assert mine == (reference_dir / "api.proto").read_bytes()

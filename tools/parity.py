@@ -32,6 +32,8 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 RESOURCES = pathlib.Path("/root/reference/test/resources")
+if not RESOURCES.exists():  # vendored byte-identical copies (tests/fixtures)
+    RESOURCES = pathlib.Path(__file__).resolve().parents[1] / "tests" / "fixtures"
 
 # (name, config args, input fixture, golden fixture) — mirrors
 # /root/reference/test/test_fsk_demod.c:52-80

@@ -56,7 +56,7 @@ def main() -> None:
     # fixture input tiled across channels at different phases (bench shape)
     try:
         iq = np.fromfile(
-            "/root/reference/test/resources/lucky7.expected.cf32", dtype=np.complex64
+            str(__import__("pathlib").Path(__file__).resolve().parents[1] / "tests" / "fixtures" / "lucky7.expected.cf32"), dtype=np.complex64
         )
         tiled = np.tile(iq, -(-channels * block // len(iq)))[: channels * block]
         tiled = tiled.reshape(channels, block)

@@ -43,7 +43,7 @@ def main() -> None:
 
     if os.environ.get("SDRM_PROFILE_INPUT", "noise") == "fixture":
         iq = np.fromfile(
-            "/root/reference/test/resources/lucky7.expected.cf32", dtype=np.complex64
+            str(__import__("pathlib").Path(__file__).resolve().parents[1] / "tests" / "fixtures" / "lucky7.expected.cf32"), dtype=np.complex64
         )
         tiled = np.tile(iq, -(-channels * block // len(iq)))[: channels * block]
         tiled = tiled.reshape(channels, block)
