@@ -12,6 +12,10 @@ import numpy as np
 class SdrDevice(abc.ABC):
     """A device may implement RX, TX, or both (like file_source)."""
 
+    # True when no RX sample may ever be dropped (file replay); live SDRs
+    # use lossy back-pressure instead (reference src/dsp_worker.c:176-179)
+    lossless_rx: bool = False
+
     async def read_stream(self) -> np.ndarray | None:
         """Return the next block of complex64 IQ, or None when the stream
         ends (socket closed / stop requested)."""

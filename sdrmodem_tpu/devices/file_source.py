@@ -22,6 +22,8 @@ from sdrmodem_tpu.dsp.nco_host import HostNco
 
 
 class FileSource(SdrDevice):
+    lossless_rx = True  # file replay must not drop (src/dsp_worker.c:176-179)
+
     def __init__(
         self,
         rx_filename: str | None = None,

@@ -287,11 +287,35 @@ class BatchedRxGroup:
 
     LANES = max(128, -(-int(os.environ.get("SDRM_SERVER_LANES", "128")) // 128) * 128)
 
-    def __init__(self, fsk_config: FskDemodConfig, block: int):
+    def __init__(
+        self,
+        fsk_config: FskDemodConfig,
+        block: int,
+        *,
+        blocking: bool = False,
+        queue_capacity: int | None = None,
+    ):
         import jax.numpy as jnp
 
         self.fsk_config = fsk_config
         self.block = block
+        # ingest/compute overlap (the reference's whole reason for queue.c:
+        # the SDR reader thread must never wait on the demodulator,
+        # src/sdr_worker.c:31-55): filled blocks go through a bounded
+        # BufferQueue to a worker task that runs the device step, so
+        # ``feed`` returns as soon as the block is copied.  blocking=True
+        # (file sources) back-pressures the reader instead of dropping.
+        # Capacity follows the server config's queue_size (the reference's
+        # queue_size knob, default 64, server_config.c:89-97) — deep
+        # enough to ride out the first step's jit compile.
+        from sdrmodem_tpu.utils.queue import BufferQueue
+
+        self.blocking = blocking
+        if queue_capacity is None:
+            queue_capacity = int(os.environ.get("SDRM_GROUP_QUEUE", "64"))
+        self.queue = BufferQueue(queue_capacity, blocking)
+        self._worker_task: asyncio.Task | None = None
+        self.blocks_processed = 0
         # "free": gather-free evaluation of the reference's atan LUT —
         # same piecewise-linear function (table entries recomputed on the
         # fly, <=2 ulp), no gather (gathers are ~25x the whole step's cost
@@ -362,7 +386,10 @@ class BatchedRxGroup:
         )
 
     async def feed(self, buf: np.ndarray):
-        """Accumulate a stream buffer; step every time a block fills."""
+        """Accumulate a stream buffer; enqueue every filled block for the
+        worker task.  Returns as soon as the data is copied (lossy mode) or
+        queue space exists (blocking mode) — the reader never waits for the
+        device step itself (reference src/queue.c:168-200)."""
         buf = np.asarray(buf, np.complex64)
         i = 0
         while i < len(buf):
@@ -372,12 +399,42 @@ class BatchedRxGroup:
             i += take
             if self.fill == self.block:
                 self.fill = 0
-                await self._step_block()
+                self._ensure_worker()
+                await self.queue.put(self.acc.copy())
 
-    async def _step_block(self):
-        # apply lane resets queued by attach() while a previous step was in
-        # flight; feed()/_step_block run serially (one stream reader), so
-        # no step can be mid-flight here
+    def _ensure_worker(self):
+        if self._worker_task is None or self._worker_task.done():
+            self._worker_task = asyncio.create_task(
+                self._worker(), name=f"rx-group-worker-{id(self):x}"
+            )
+
+    async def _worker(self):
+        """Drain filled blocks through the device step until the poison
+        pill (the dsp_worker thread analog, src/dsp_worker.c:44-106)."""
+        try:
+            while True:
+                block = await self.queue.take()
+                if block is None:
+                    break
+                await self._step_block(block)
+                self.blocks_processed += 1
+        except asyncio.CancelledError:
+            pass
+        except Exception:
+            log.exception("rx group worker failed; finishing %d lanes", len(self.lanes))
+            for s in list(self.lanes.values()):
+                s.finish_fast()
+
+    async def close(self):
+        """Stop the worker (pending blocks are discarded, poison-pill
+        semantics of queue.c:215-223)."""
+        if self._worker_task is not None and not self._worker_task.done():
+            await self.queue.interrupt()
+            await self._worker_task
+
+    async def _step_block(self, acc: np.ndarray):
+        # apply lane resets queued by attach(); the single worker task
+        # processes blocks serially, so no step can be mid-flight here
         for lane in self._pending_resets:
             self._reset_lane(lane)
             self._overflow_prev[lane] = 0.0
@@ -388,7 +445,7 @@ class BatchedRxGroup:
         if not sessions:
             return
         # one shared (2, block) pair — the step broadcasts it to all lanes
-        x = np.stack([self.acc.real, self.acc.imag]).astype(np.float32)
+        x = np.stack([acc.real, acc.imag]).astype(np.float32)
         # per-lane Doppler as device NCO tables: the host only runs the
         # 1 Hz SGP4 bookkeeping (cheap scalars), the mix itself happens
         # on-device inside the batched step — no serialized per-lane
@@ -468,7 +525,12 @@ class SdrStream:
                 if g.fsk_config == session.fsk_config and g.has_space():
                     g.attach(session)
                     return
-            group = BatchedRxGroup(session.fsk_config, session.config.buffer_size)
+            group = BatchedRxGroup(
+                session.fsk_config,
+                session.config.buffer_size,
+                blocking=self.device.lossless_rx,
+                queue_capacity=session.config.queue_size,
+            )
             group.attach(session)
             self.groups.append(group)
 
@@ -496,6 +558,8 @@ class SdrStream:
             # stream ended: poison-pill every attached session (:49-53);
             # fast-mode lanes are notified too (finished + writers closed)
             # so nothing keeps emitting into a dead stream
+            for group in list(self.groups):
+                await group.close()
             for session in list(self.sessions):
                 if session.mode == "fast":
                     session.finish_fast()
@@ -511,6 +575,7 @@ class SdrStream:
             group.detach(session)
             if not group.lanes and group in self.groups:
                 self.groups.remove(group)
+                await group.close()
         if not self.sessions:
             # stop the reader task before the graceful-shutdown drain so the
             # two never contend for the same stream reader

@@ -416,7 +416,9 @@ def test_fast_lane_attach_race_gets_fresh_state(tmp_path):
         buf = (rng.standard_normal(2048) + 1j * rng.standard_normal(2048)).astype(
             np.complex64
         )
-        t = asyncio.create_task(group.feed(buf))
+        # feed() returns as soon as the block is queued (ingest/compute
+        # overlap); the worker task runs the step
+        await group.feed(buf)
         await asyncio.to_thread(entered.wait, 60)
         # step 1 in flight: occupant leaves, new client takes the lane
         group.detach(a)
@@ -424,10 +426,11 @@ def test_fast_lane_attach_race_gets_fresh_state(tmp_path):
         group.attach(b)
         assert b.lane == 0
         release.set()
-        await t
+        await _drain(group, 1)
         assert 0 in group._pending_resets  # reset survives the step return
 
         await group.feed(buf)  # step 2: b's first step
+        await _drain(group, 2)
         state_seen = captured[1]
         cp = state_seen.quad_prev.shape[1] // 2
         # lane 0 must be zero history in every leaf (fresh dsp_worker)
@@ -444,6 +447,146 @@ def test_fast_lane_attach_race_gets_fresh_state(tmp_path):
             np.asarray(group.state.lpf1_hist[:, 2]),
         )
         assert np.asarray(group.state.lpf1_hist[:, 1] != 0).any()
+        await group.close()
+
+    run(body())
+
+
+async def _drain(group, n, timeout=60.0):
+    """Wait until the group's worker has processed >= n blocks."""
+    import time as _time
+
+    t0 = _time.monotonic()
+    while group.blocks_processed < n:
+        assert _time.monotonic() - t0 < timeout, "group worker stalled"
+        await asyncio.sleep(0.01)
+
+
+def test_group_ingest_overlaps_device_step(tmp_path):
+    """VERDICT item: the SDR reader must never wait on the demodulator.
+    With the step artificially stalled, feed() keeps accepting blocks
+    (lossy mode) and the bounded queue drops instead of blocking —
+    reference src/queue.c:124-128, 168-200."""
+    import threading
+
+    from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig
+    from sdrmodem_tpu.server.session import BatchedRxGroup
+
+    class Stub:
+        doppler = None
+        samples_in = 0
+        overflow_events = 0
+        group = None
+        lane = -1
+
+        def __init__(self):
+            self.finished = asyncio.Event()
+            self.emitted = []
+
+        def note_progress(self, n):
+            self.samples_in += n
+
+        async def emit(self, symbols):
+            self.emitted.append(np.asarray(symbols))
+
+    async def body():
+        cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
+        group = BatchedRxGroup(cfg, 2048, queue_capacity=2)  # lossy (live-SDR policy)
+        s = Stub()
+        group.attach(s)
+
+        entered, release = threading.Event(), threading.Event()
+        orig = group._step_host
+
+        def slow_step(x, dop):
+            entered.set()
+            release.wait(60)
+            return orig(x, dop)
+
+        group._step_host = slow_step
+        rng = np.random.default_rng(1)
+        buf = (rng.standard_normal(2048) + 1j * rng.standard_normal(2048)).astype(
+            np.complex64
+        )
+        # first block enters the (stalled) step
+        await group.feed(buf)
+        await asyncio.to_thread(entered.wait, 60)
+        # while the step is stalled, the reader can keep feeding: these
+        # must return promptly (copy + enqueue), never await the step
+        import time as _time
+
+        t0 = _time.monotonic()
+        for _ in range(4):  # capacity 2 -> the extras hit the lossy drop
+            await group.feed(buf)
+        assert _time.monotonic() - t0 < 5.0  # step stall is 60 s
+        assert group.queue.dropped >= 2  # bounded queue dropped, not blocked
+        release.set()
+        # worker drains what the queue kept: 1 in-flight + 2 queued
+        await _drain(group, 3)
+        assert group.blocks_processed == 3
+        assert s.samples_in == 3 * 2048
+        await group.close()
+
+    run(body())
+
+
+def test_group_blocking_mode_backpressures_file_reader(tmp_path):
+    """File sources must not drop: with the queue full and the step
+    stalled, feed() blocks until the worker frees space (the reference's
+    blocking queue, src/dsp_worker.c:176-179)."""
+    import threading
+
+    from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig
+    from sdrmodem_tpu.server.session import BatchedRxGroup
+
+    class Stub:
+        doppler = None
+        samples_in = 0
+        overflow_events = 0
+        group = None
+        lane = -1
+
+        def __init__(self):
+            self.finished = asyncio.Event()
+
+        def note_progress(self, n):
+            self.samples_in += n
+
+        async def emit(self, symbols):
+            pass
+
+    async def body():
+        cfg = FskDemodConfig(48000, 4800, 5000, 2, 2000, True)
+        group = BatchedRxGroup(cfg, 2048, blocking=True, queue_capacity=2)
+        s = Stub()
+        group.attach(s)
+
+        entered, release = threading.Event(), threading.Event()
+        orig = group._step_host
+
+        def slow_step(x, dop):
+            entered.set()
+            release.wait(60)
+            return orig(x, dop)
+
+        group._step_host = slow_step
+        rng = np.random.default_rng(2)
+        buf = (rng.standard_normal(2048) + 1j * rng.standard_normal(2048)).astype(
+            np.complex64
+        )
+        await group.feed(buf)  # enters the stalled step
+        await asyncio.to_thread(entered.wait, 60)
+        await group.feed(buf)  # queue slot 1
+        await group.feed(buf)  # queue slot 2 (capacity 2)
+        blocked = asyncio.create_task(group.feed(buf))  # must back-pressure
+        await asyncio.sleep(0.2)
+        assert not blocked.done()  # reader is held, nothing dropped
+        release.set()
+        await blocked
+        await _drain(group, 4)
+        assert group.queue.dropped == 0
+        assert s.samples_in == 4 * 2048
+        await group.close()
 
     run(body())
 

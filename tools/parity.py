@@ -85,7 +85,7 @@ def replay_fixture(cfg_args, fin: str, fexp: str, block: int):
     m = min(len(got), len(golden))
     diff = np.abs(got[:m].astype(np.int32) - golden[:m].astype(np.int32))
     short = len(golden) - m  # symbols the replay failed to produce (0 expected)
-    return {
+    rep = {
         "n_symbols": int(len(golden)),
         "produced": int(len(got)),
         "missing": int(short),
@@ -93,6 +93,23 @@ def replay_fixture(cfg_args, fin: str, fexp: str, block: int):
         "mismatch_rate": float((diff != 0).mean()) if m else 1.0,
         "beyond_tol_rate": float((diff > 2).mean()) if m else 1.0,
     }
+    if m:
+        # data-level equivalence: hard-decision agreement on confidently
+        # sliced symbols (|golden| >= 8, ~6% of full scale).  The chaotic
+        # M&M loop can take a slightly different — equally valid — timing
+        # trajectory through marginal/no-signal stretches on a different
+        # backend lowering (the reference pins VOLK_GENERIC for the same
+        # reason, test/resources/run_tests.sh:8-10); what must survive is
+        # the decoded DATA, which this measures.
+        confident = np.abs(golden[:m].astype(np.int32)) >= 8
+        agree = np.sign(got[:m][confident]) == np.sign(golden[:m][confident])
+        rep["hard_decision_agreement"] = float(agree.mean()) if confident.any() else 1.0
+        bad = np.where(diff > 2)[0]
+        if len(bad):
+            # localize the beyond-tolerance cluster (transient vs persistent)
+            rep["beyond_tol_span"] = [int(bad.min()), int(bad.max())]
+            rep["tail_clean_symbols"] = int(m - 1 - bad.max())
+    return rep
 
 
 def run(block: int = 16384, cases=CASES, names=None):
