@@ -154,13 +154,40 @@ class Doppler:
     # ramp ph0 + i*adj keeps i small (absolute f32 error ~ i*adj*2^-24;
     # at 4096 samples it is <1e-3 rad, below the goldens' 0.01 tolerance)
 
-    def device_segments(self, n: int, direction: int):
+    def device_segments(self, n: int, direction: int, max_batch: int | None = None):
         """Advance one ``n``-sample block of stream time and return the
         piecewise-constant NCO descriptors [(start, length, adj, ph0)]
         for the device: within each row the sample phase is
         ph0 + (i - start) * adj.  State advances exactly like ``_mix``
         (same int64 shift truncation, f32 increment, f64 phase carry),
-        so host- and device-applied correction match to f32 rounding."""
+        so host- and device-applied correction match to f32 rounding.
+
+        The reference interpolates Δf per PROCESSING BUFFER
+        (doppler.c:164-175), so its correction depends on the buffer
+        size; ``max_batch`` pins the interpolation cadence to at most
+        that many samples regardless of the block size — e.g. 2000, the
+        buffer the golden fixtures were recorded with — making the
+        device correction block-size-invariant (used by the sharded
+        paths, whose block = N/D is a partitioning choice, not a
+        fidelity choice)."""
+        if max_batch is None:
+            return self._device_segments_one(n, direction, 0)
+        # cadence boundaries are GLOBAL stream positions (multiples of
+        # max_batch from stream start), carried across blocks — a block
+        # size that is not a cadence multiple must not shift them, or the
+        # correction would depend on the block partitioning again
+        pos = getattr(self, "_cadence_pos", 0)
+        rows = []
+        off = 0
+        while off < n:
+            m = min(max_batch - (pos % max_batch), n - off)
+            rows.extend(self._device_segments_one(m, direction, off))
+            off += m
+            pos += m
+        self._cadence_pos = pos
+        return rows
+
+    def _device_segments_one(self, n: int, direction: int, base: int):
         rows = []
         for start, batch, freq in self._segments(n, direction):
             adj = float(np.float32(_TWO_PI32 * np.float32(freq) / np.float32(self.fs)))
@@ -168,13 +195,16 @@ class Doppler:
             while off < batch:
                 ln = min(self.MAX_SEG, batch - off)
                 ph0 = float(np.mod(self.phase + off * adj, 2 * np.pi))
-                rows.append((start + off, ln, np.float32(adj), np.float32(ph0)))
+                rows.append((base + start + off, ln, np.float32(adj), np.float32(ph0)))
                 off += ln
             self.phase = np.fmod(self.phase + batch * adj, 2 * np.pi)
         return rows
 
     @classmethod
-    def max_rows(cls, n: int, sampling_freq: int) -> int:
+    def max_rows(cls, n: int, sampling_freq: int, max_batch: int | None = None) -> int:
         """Static bound on device_segments rows for an n-sample block."""
         boundaries = n // int(sampling_freq) + 2  # 1 Hz update splits
-        return -(-n // cls.MAX_SEG) + boundaries
+        if max_batch is None:
+            return -(-n // cls.MAX_SEG) + boundaries
+        per = min(max_batch, cls.MAX_SEG)
+        return -(-n // per) + boundaries + 1

@@ -23,57 +23,14 @@ output indices align with block boundaries.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sdrmodem_tpu.dsp.clock_recovery import clock_mm_stream, initial_state
-from sdrmodem_tpu.dsp.elementwise import atan2_dispatch, dc_blocker_taps, fast_atan2
-from sdrmodem_tpu.dsp.fir import fir_stream
+from sdrmodem_tpu.dsp.elementwise import atan2_dispatch, dc_blocker_taps
 from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig, float_to_int8
-
-
-def _halo_left(x: jnp.ndarray, h: int, axis_name: str) -> jnp.ndarray:
-    """Prepend the left neighbour's last ``h`` samples (zeros on device 0)."""
-    n_dev = jax.lax.axis_size(axis_name)
-    tail = x[..., -h:]
-    perm = [(i, i + 1) for i in range(n_dev - 1)]
-    halo = jax.lax.ppermute(tail, axis_name, perm)
-    return jnp.concatenate([halo, x], axis=-1)
-
-
-def _front_end_block(x_pair: jnp.ndarray, cfg: FskDemodConfig, taps1, taps2, tapsdc, axis_name: str):
-    """One device's share of the filter front-end with halo exchange.
-
-    x_pair: (2, Nb) float32 — this device's time block.
-    Returns (Mb,) float32 decimated soft stream aligned to the global
-    stream (Mb = Nb / decimation).
-    """
-    t1, t2 = len(taps1), len(taps2)
-    d = cfg.decimation
-
-    # LPF1 (complex as 2 lanes), halo t1-1
-    work = _halo_left(x_pair, t1 - 1, axis_name)
-    y1 = fir_stream(work, taps1, 1, history=False)  # (2, Nb)
-
-    # quadrature demod, halo 1 sample of y1
-    y1h = _halo_left(y1, 1, axis_name)
-    re = y1h[0, 1:] * y1h[0, :-1] + y1h[1, 1:] * y1h[1, :-1]
-    im = y1h[1, 1:] * y1h[0, :-1] - y1h[0, 1:] * y1h[1, :-1]
-    q = jnp.float32(cfg.quad_gain) * fast_atan2(im, re)  # (Nb,)
-
-    # LPF2 decimating, halo t2-1 input samples
-    qh = _halo_left(q[None, :], t2 - 1, axis_name)
-    y2 = fir_stream(qh, taps2, d, history=False)[0]  # (Nb/d,)
-
-    if tapsdc is not None:
-        y2h = _halo_left(y2[None, :], len(tapsdc) - 1, axis_name)
-        y2 = fir_stream(y2h, tapsdc, 1, history=False)[0]
-    return y2
 
 
 def demod_time_sharded(
@@ -81,66 +38,102 @@ def demod_time_sharded(
     config: FskDemodConfig,
     mesh: Mesh,
     axis: str = "time",
+    **kw,
 ):
-    """Demodulate one stream with its time axis sharded over ``mesh``.
+    """Demodulate ONE stream with its time axis sharded over ``mesh``.
 
-    Returns (int8 symbols, count) equal to the unsharded whole-stream
-    demod (modulo the first-block zero-history warmup, which is identical
-    by construction).
+    Thin wrapper over the production systolic path (``demod_pipelined``
+    with S=1 — the old XLA-front/host-clock-loop variant is retired);
+    returns (int8 symbols, count) equal to the unsharded whole-stream
+    full-block demod.
     """
-    n_dev = mesh.shape[axis]
-    n = len(iq)
+    outs = demod_pipelined(np.asarray(iq, np.complex64)[None, :], config, mesh, axis, **kw)
+    return outs[0], len(outs[0])
+
+
+def _skewed_layout(iq, dopplers, config, n_dev, lanes=128):
+    """Host-side staging shared by the pipelined and grid paths.
+
+    Streams s = j*k + g (j = ring group in [0, D), g = slot in [0, k));
+    stream s's time-block dd lives on device (j + dd) mod D at lane s, so
+    every stream's predecessor block is on the ring-left neighbour and
+    block 0 of group j starts ON device j (zero fill/drain bubbles).
+
+    Returns (x_skew (D, B, 2*lanes) f32, dop_tabs (D, 4, rows, lanes) f32
+    or None, block, k).
+    """
+    s_streams, n = iq.shape
     d = config.decimation
+    k = -(-s_streams // n_dev)  # streams per ring group (zero-pad the rest)
+    s_pad = k * n_dev
+    if s_pad > lanes:
+        raise ValueError(
+            f"{s_streams} streams over {n_dev} devices needs {s_pad} lanes > {lanes}"
+        )
     block = -(-n // n_dev)
-    block = -(-block // d) * d  # multiple of decimation
-    padded = np.zeros(block * n_dev, np.complex64)
-    padded[:n] = np.asarray(iq, np.complex64)
-    x = np.stack([padded.real, padded.imag]).reshape(2, n_dev, block).transpose(1, 0, 2)
-    x = jax.device_put(
-        jnp.asarray(x), NamedSharding(mesh, P(axis, None, None))
-    )  # (D, 2, Nb)
+    block = -(-block // d) * d
+    padded = np.zeros((s_pad, block * n_dev), np.complex64)
+    padded[:s_streams, :n] = np.asarray(iq, np.complex64)
 
-    taps1 = config.lpf1_taps()
-    taps2 = config.lpf2_taps()
-    tapsdc = dc_blocker_taps(config.dc_length) if config.use_dc_block else None
+    x_skew = np.zeros((n_dev, block, 2 * lanes), np.float32)
+    for s in range(s_pad):
+        j = s // k
+        for dd in range(n_dev):
+            p = (j + dd) % n_dev
+            blk = padded[s, dd * block : (dd + 1) * block]
+            x_skew[p, :, s] = blk.real
+            x_skew[p, :, lanes + s] = blk.imag
 
-    front = jax.jit(
-        jax.shard_map(
-            lambda blk: _front_end_block(blk[0], config, taps1, taps2, tapsdc, axis)[None, :],
-            mesh=mesh,
-            in_specs=P(axis, None, None),
-            out_specs=P(axis, None),
-            check_vma=False,
+    dop_tabs = None
+    if dopplers is not None and any(dp is not None for dp in dopplers):
+        from sdrmodem_tpu.dsp.doppler import Doppler
+
+        # the goldens' interpolation cadence (reference test_doppler.c
+        # streams 2000-sample buffers; the reference interpolates df per
+        # buffer, so cadence = fidelity) — pinning it makes the sharded
+        # correction independent of the block-partitioning choice
+        cadence = 2000
+        rows = Doppler.max_rows(block, config.sampling_freq, cadence)
+        # tabs rows: 0=start, 1=end, 2=adj, 3=ph0 (nco_mix_pair_tm order)
+        dop_tabs = np.zeros((n_dev, 4, rows, lanes), np.float32)
+        for s, dp in enumerate(dopplers):
+            if dp is None:
+                continue
+            j = s // k
+            # walk the stream's blocks IN ORDER (device_segments advances
+            # the 1 Hz SGP4 state exactly like the streaming server does)
+            for dd in range(n_dev):
+                p = (j + dd) % n_dev
+                segs = dp.device_segments(block, +1, max_batch=cadence)
+                for r, (st, ln, adj, ph0) in enumerate(segs):
+                    dop_tabs[p, 0, r, s] = st
+                    dop_tabs[p, 1, r, s] = st + ln
+                    dop_tabs[p, 2, r, s] = adj
+                    dop_tabs[p, 3, r, s] = ph0
+    return x_skew, dop_tabs, block, k
+
+
+def _pipelined_shard_fn(
+    x_tm, cstate, dop_tab, taps: _PipeTaps, axis, n_dev, lanes, k,
+    *, clock_backend, interpret,
+):
+    """One device's whole program: optional device-side Doppler mix, the
+    halo'd production front-end, then the systolic clock rotation."""
+    if dop_tab is not None:
+        from sdrmodem_tpu.dsp.elementwise import nco_mix_pair_tm
+
+        x_tm = nco_mix_pair_tm(
+            x_tm, dop_tab[0], dop_tab[1], dop_tab[2], dop_tab[3]
         )
+    soft = _front_full_halo(x_tm, taps, axis, lanes, interpret, k)
+    return _clock_rotation(
+        soft, cstate, taps, axis, n_dev, lanes, k,
+        clock_backend=clock_backend, interpret=interpret,
     )
-    soft_blocks = front(x)  # (D, Nb/d) sharded over devices
-
-    # clock recovery: sequential state hand-off over blocks
-    p = config.clock_params()
-    clock = jax.jit(
-        partial(
-            clock_mm_stream,
-            omega=p["omega"],
-            gain_omega=p["gain_omega"],
-            mu=p["mu"],
-            gain_mu=p["gain_mu"],
-            omega_relative_limit=p["omega_relative_limit"],
-        )
-    )
-    state = initial_state(p["omega"], p["mu"])
-    symbols = []
-    valid_in = n // d
-    for b in range(n_dev):
-        remaining = valid_in - b * (block // d)
-        n_valid = int(np.clip(remaining, 0, block // d))
-        outs, count, state = clock(soft_blocks[b], state=state, n_valid=n_valid)
-        symbols.append(np.asarray(outs)[: int(count)])
-    soft = np.concatenate(symbols)
-    return np.asarray(float_to_int8(jnp.asarray(soft))), len(soft)
 
 
 def demod_pipelined(
-    iq: np.ndarray,  # (S, N) complex64 — S independent streams, S == D
+    iq: np.ndarray,  # (S, N) complex64 — S independent streams, S <= 128
     config: FskDemodConfig,
     mesh: Mesh,
     axis: str = "time",
@@ -148,32 +141,40 @@ def demod_pipelined(
     clock_backend: str = "pallas",
     interpret: bool = False,
     use_atan_lut="free",
+    dopplers=None,  # optional list of per-stream Doppler (or None) objects
 ):
-    """PRODUCTION multi-device path: S = D streams demodulated with each
+    """PRODUCTION multi-device path: S streams demodulated with each
     stream's time axis sharded over the mesh, ZERO idle device-rounds.
 
     The reference overlaps its sequential demod with concurrent reader
     threads (src/dsp_worker.c:44-106, src/queue.c:168-200); re-expressed
     for a TPU mesh as a systolic skew:
 
-    - layout: stream s's time-block d lives on device (s + d) mod D, so
+    - layout: streams pack k = ceil(S/D) per ring group (lane s = j*k+g);
+      stream (j, g)'s time-block dd lives on device (j + dd) mod D, so
       for EVERY stream the predecessor block is on the ring-left
-      neighbour and block 0 of stream p is local to device p;
+      neighbour and group j's block 0 is local to device j;
     - front-end (LPF1 → quad → LPF2 → DC) runs on the full-block
       production kernels (ops/pallas_fir.conv1d_banded_tm — the same
-      banded-MXU matmuls the single-chip server path uses), all S
-      blocks per device batched in the 128 vector lanes; each stage's
-      carried history is its ring-left neighbour's output tail (one
-      ppermute per stage, zeros for block 0) — numerically IDENTICAL
-      to the unsharded full-block state hand-off;
+      banded-MXU matmuls the single-chip server path uses), all local
+      blocks batched in the 128 vector lanes; each stage's carried
+      history is its ring-left neighbour's output tail (one ppermute
+      per stage, zeros for block 0) — numerically IDENTICAL to the
+      unsharded full-block state hand-off;
     - M&M clock recovery is sequential per stream, so the D block-walks
-      rotate: in round r device p advances stream (p - r) mod D through
-      its local block (index r), then the tiny suffix-carry state
-      (ClockFullState: 64-sample suffix + 4 scalars) ppermutes one step
-      right.  Every round keeps ALL devices busy on a different
-      stream's clock — the pipeline analog of the reference's
-      reader/demod thread overlap, with D rounds total and zero fill
-      or drain bubbles (see ``pipeline_schedule_report``).
+      rotate: in round r device p advances the k streams of ring group
+      (p - r) mod D through its local block, then the suffix-carry
+      state (ClockFullState, k lanes) ppermutes one step right.  Every
+      round keeps ALL devices busy on a different group's clock — the
+      pipeline analog of the reference's reader/demod thread overlap,
+      with D rounds total and zero fill or drain bubbles (see
+      ``pipeline_schedule_report``).
+
+    With ``dopplers`` (one entry per stream, None = no correction), each
+    stream's per-block piecewise-linear NCO tables are staged in the same
+    skew as the data and applied on-device before LPF1 — the sharded
+    equivalent of the single-chip step's doppler=True
+    (reference src/dsp/doppler.c:164-186 applies it per client in-stream).
 
     Returns list of S int8 symbol arrays, bit-identical to feeding each
     stream through DemodPipeline.make_batched_step_full with block = N/D.
@@ -181,25 +182,9 @@ def demod_pipelined(
     if jax.default_backend() == "cpu":
         interpret = True  # Mosaic kernels need a TPU; CPU = interpret mode
     n_dev = mesh.shape[axis]
-    s_streams, n = iq.shape
-    if s_streams != n_dev:
-        raise ValueError("demod_pipelined needs exactly one stream per device")
-    d = config.decimation
-    block = -(-n // n_dev)
-    block = -(-block // d) * d
-    padded = np.zeros((s_streams, block * n_dev), np.complex64)
-    padded[:, :n] = np.asarray(iq, np.complex64)
-
-    lanes = 128  # conv1d_banded_tm lane granule; streams occupy lanes [0, S)
-    # skewed placement: device p holds, for every stream s, block (p - s)
-    # mod D, time-major with I in lanes [0, lanes) and Q in [lanes, 2*lanes)
-    x_skew = np.zeros((n_dev, block, 2 * lanes), np.float32)
-    for s in range(s_streams):
-        for dd in range(n_dev):
-            p = (s + dd) % n_dev
-            blk = padded[s, dd * block : (dd + 1) * block]
-            x_skew[p, :, s] = blk.real
-            x_skew[p, :, lanes + s] = blk.imag
+    s_streams = iq.shape[0]
+    lanes = 128  # conv1d_banded_tm lane granule
+    x_skew, dop_tabs, block, k = _skewed_layout(iq, dopplers, config, n_dev, lanes)
     x = jax.device_put(
         jnp.asarray(x_skew), NamedSharding(mesh, P(axis, None, None))
     )
@@ -208,44 +193,57 @@ def demod_pipelined(
     from sdrmodem_tpu.dsp.clock_recovery import initial_full_state
 
     p_clock = config.clock_params()
-    cstate0 = initial_full_state(p_clock["omega"], 1, p_clock["mu"])
+    cstate0 = initial_full_state(p_clock["omega"], k, p_clock["mu"])
 
-    def shard_fn(x_loc, cstate):
+    have_dop = dop_tabs is not None
+
+    def shard_fn(x_loc, cstate, *dop):
         x_tm = x_loc[0]  # (B, 2*lanes)
         cstate = jax.tree.map(lambda a: a[0], cstate)  # strip local shard dim
-        soft = _front_full_halo(x_tm, pipe_like, axis, lanes, interpret)
-        outs, counts = _clock_rotation(
-            soft, cstate, pipe_like, axis, n_dev, lanes,
+        tab = dop[0][0] if have_dop else None
+        outs, counts = _pipelined_shard_fn(
+            x_tm, cstate, tab, pipe_like, axis, n_dev, lanes, k,
             clock_backend=clock_backend, interpret=interpret,
         )
         return outs[None], counts[None]
 
+    in_specs = [P(axis, None, None), P(axis)]
+    args = [x]
+    cstate = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (n_dev,) + a.shape), cstate0
+    )
+    args.append(cstate)
+    if have_dop:
+        in_specs.append(P(axis, None, None, None))
+        args.append(
+            jax.device_put(
+                jnp.asarray(dop_tabs), NamedSharding(mesh, P(axis, None, None, None))
+            )
+        )
     run = jax.jit(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(axis, None, None), P(axis)),
-            out_specs=(P(axis, None, None, None), P(axis, None, None)),
+            in_specs=tuple(in_specs),
+            out_specs=(P(axis, None, None, None, None), P(axis, None, None, None)),
             check_vma=False,
         )
     )
-    cstate = jax.tree.map(
-        lambda a: jnp.broadcast_to(a[None], (n_dev,) + a.shape), cstate0
-    )
-    outs, counts = run(x, cstate)
+    outs, counts = run(*args)
     outs, counts = np.asarray(outs), np.asarray(counts)
 
-    # reassemble: stream s's block r was produced on device (s + r) mod D.
-    # When n is not a multiple of D*decimation the zero padding clocks out
-    # trailing zero symbols, exactly as the unsharded step would on the
-    # same padded stream.
+    # reassemble: stream (j, g)'s block r was produced on device (j + r)
+    # mod D, slot g.  When n is not a multiple of D*decimation the zero
+    # padding clocks out trailing zero symbols, exactly as the unsharded
+    # step would on the same padded stream.
     results = []
     for s in range(s_streams):
+        j, g = s // k, s % k
         parts = []
         for r in range(n_dev):
-            dev = (s + r) % n_dev
-            for t in range(counts.shape[2]):
-                parts.append(outs[dev, r, t, : counts[dev, r, t]])
+            dev = (j + r) % n_dev
+            for t in range(counts.shape[3]):
+                parts.append(outs[dev, r, g, t, : counts[dev, r, g, t]])
         results.append(np.concatenate(parts))
     return results
 
@@ -267,19 +265,19 @@ class _PipeTaps:
         )
 
 
-def _ring_halo(arr, h, axis_name, lanes, p):
+def _ring_halo(arr, h, axis_name, lanes, p, k=1):
     """Ring-shift the last ``h`` rows one device right; zero the halo for
-    lanes whose LOCAL block is the stream's first (stream index == device
-    index under the skewed layout)."""
+    lanes whose LOCAL block is the stream's first (ring group == device
+    index under the skewed layout; lane s belongs to group s // k)."""
     tail = arr[-h:, :]
     n_dev = jax.lax.axis_size(axis_name)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     halo = jax.lax.ppermute(tail, axis_name, perm)
-    first = (jnp.arange(arr.shape[1]) % lanes) == p
+    first = ((jnp.arange(arr.shape[1]) % lanes) // k) == p
     return jnp.where(first[None, :], 0.0, halo)
 
 
-def _front_full_halo(x_tm, taps: _PipeTaps, axis_name, lanes, interpret):
+def _front_full_halo(x_tm, taps: _PipeTaps, axis_name, lanes, interpret, k=1):
     """The full-block production front-end (mirrors
     DemodPipeline._front_batched_full line for line) with every carried
     history replaced by the ring-left neighbour's tail."""
@@ -294,7 +292,7 @@ def _front_full_halo(x_tm, taps: _PipeTaps, axis_name, lanes, interpret):
     # 128-row accumulation sub-block on stream row 0 mod 128, matching
     # DemodPipeline._front_batched_full and the fused kernel bit for bit
     pad1 = (-(len(taps.t1) - 1)) % 128
-    hist1 = _ring_halo(x_tm, len(taps.t1) - 1, axis_name, lanes, p)
+    hist1 = _ring_halo(x_tm, len(taps.t1) - 1, axis_name, lanes, p, k)
     work1 = jnp.concatenate(
         [jnp.zeros((pad1, x_tm.shape[1]), jnp.float32), hist1, x_tm], axis=0
     )
@@ -302,7 +300,7 @@ def _front_full_halo(x_tm, taps: _PipeTaps, axis_name, lanes, interpret):
         work1, taps.t1[::-1], 1, b, interpret=interpret, col_offset=pad1
     )
 
-    prev = _ring_halo(y1, 1, axis_name, lanes, p)
+    prev = _ring_halo(y1, 1, axis_name, lanes, p, k)
     shifted = jnp.concatenate([prev, y1[:-1, :]], axis=0)
     i, q = y1[:, :lanes], y1[:, lanes:]
     si, sq = shifted[:, :lanes], shifted[:, lanes:]
@@ -312,7 +310,7 @@ def _front_full_halo(x_tm, taps: _PipeTaps, axis_name, lanes, interpret):
 
     n2 = b // d
     pad2 = (-(len(taps.t2) - 1)) % 128
-    hist2 = _ring_halo(yq, len(taps.t2) - 1, axis_name, lanes, p)
+    hist2 = _ring_halo(yq, len(taps.t2) - 1, axis_name, lanes, p, k)
     work2 = jnp.concatenate(
         [jnp.zeros((pad2, lanes), jnp.float32), hist2, yq], axis=0
     )
@@ -322,7 +320,7 @@ def _front_full_halo(x_tm, taps: _PipeTaps, axis_name, lanes, interpret):
 
     if taps.tdc is not None:
         pad3 = (-(len(taps.tdc) - 1)) % 128
-        hist3 = _ring_halo(y2, 4 * cfg.dc_length - 4, axis_name, lanes, p)
+        hist3 = _ring_halo(y2, 4 * cfg.dc_length - 4, axis_name, lanes, p, k)
         work3 = jnp.concatenate(
             [jnp.zeros((pad3, lanes), jnp.float32), hist3, y2], axis=0
         )
@@ -333,12 +331,13 @@ def _front_full_halo(x_tm, taps: _PipeTaps, axis_name, lanes, interpret):
 
 
 def _clock_rotation(
-    soft, cstate, taps: _PipeTaps, axis_name, n_dev, lanes,
+    soft, cstate, taps: _PipeTaps, axis_name, n_dev, lanes, k=1,
     *, clock_backend, interpret,
 ):
-    """D systolic rounds: round r advances stream (p - r) mod D through
-    the local block (index r), then the suffix-carry state ppermutes one
-    device right.  All devices busy every round."""
+    """D systolic rounds: round r advances the k streams of ring group
+    (p - r) mod D through the local block (index r), then the
+    suffix-carry state (k lanes) ppermutes one device right.  All
+    devices busy every round."""
     from sdrmodem_tpu.dsp.clock_recovery import clock_mm_batched_full
 
     p_clock = taps.config.clock_params()
@@ -348,8 +347,10 @@ def _clock_rotation(
 
     outs_rounds, counts_rounds = [], []
     for r in range(n_dev):
-        lane = jax.lax.rem(p - jnp.int32(r) + jnp.int32(n_dev), jnp.int32(n_dev))
-        my = jax.lax.dynamic_slice(soft, (jnp.int32(0), lane), (n2, 1))
+        group = jax.lax.rem(p - jnp.int32(r) + jnp.int32(n_dev), jnp.int32(n_dev))
+        my = jax.lax.dynamic_slice(
+            soft, (jnp.int32(0), group * jnp.int32(k)), (n2, k)
+        )
         o, cnt, cstate = clock_mm_batched_full(
             my, cstate,
             omega=p_clock["omega"], gain_omega=p_clock["gain_omega"],
@@ -357,8 +358,8 @@ def _clock_rotation(
             omega_relative_limit=p_clock["omega_relative_limit"],
             backend=clock_backend, interpret=interpret,
         )
-        outs_rounds.append(float_to_int8(o[0]))  # (n_chunks, K)
-        counts_rounds.append(cnt[0])
+        outs_rounds.append(float_to_int8(o))  # (k, n_chunks, K)
+        counts_rounds.append(cnt)  # (k, n_chunks)
         if r + 1 < n_dev:
             cstate = jax.tree.map(
                 lambda a: jax.lax.ppermute(a, axis_name, perm), cstate
@@ -366,12 +367,15 @@ def _clock_rotation(
     return jnp.stack(outs_rounds), jnp.stack(counts_rounds)
 
 
-def pipeline_schedule_report(n_devices: int, n_samples: int, config: FskDemodConfig):
+def pipeline_schedule_report(
+    n_devices: int, n_samples: int, config: FskDemodConfig, n_streams: int = 0
+):
     """Steps-per-device accounting for ``demod_pipelined`` — the scaling
     evidence obtainable without real multi-chip hardware.
 
-    The schedule is systolic: S = D streams, D time-blocks each, D clock
-    rounds with every device advancing exactly one stream per round, so
+    The schedule is systolic: S = k*D streams (k per ring group, packing
+    the 128 lanes), D time-blocks each, D clock rounds with every device
+    advancing exactly one GROUP of k streams per round, so
     device-busy is 100% by construction (no fill/drain bubbles — block 0
     of stream p starts ON device p).  Communication per block-step is the
     per-stage halo tails + the 65-element clock state, which rides ICI
@@ -382,14 +386,18 @@ def pipeline_schedule_report(n_devices: int, n_samples: int, config: FskDemodCon
     t2 = len(config.lpf2_taps())
     dc = 4 * config.dc_length - 4 if config.use_dc_block else 0
     lanes = 128
+    k = max(1, -(-n_streams // n_devices)) if n_streams else 1
     halo_bytes = 4 * lanes * (2 * (t1 - 1) + 2 * 1 + t2 - 1 + dc)
-    state_bytes = 4 * (64 + 4) * n_devices  # suffix + scalars, per round, all devs
-    clock_tasks = n_devices * n_devices  # S streams x D blocks
-    busy = n_devices * n_devices  # 1 task/device/round x D rounds x D devices
+    state_bytes = 4 * (64 + 4) * k * n_devices  # suffix + scalars, per round
+    clock_tasks = k * n_devices * n_devices  # S streams x D blocks
+    busy = n_devices * n_devices  # 1 group-task/device/round x D rounds
     return dict(
         devices=n_devices,
         rounds=n_devices,
         block_samples=block,
+        streams=k * n_devices,
+        streams_per_group=k,
+        lane_utilization=min(1.0, k * n_devices / lanes),
         clock_block_tasks=clock_tasks,
         busy_device_rounds=busy,
         idle_device_rounds=0,
@@ -405,76 +413,120 @@ def demod_grid_sharded(
     mesh: Mesh,
     channel_axis: str = "channel",
     time_axis: str = "time",
+    *,
+    clock_backend: str = "pallas",
+    interpret: bool = False,
+    use_atan_lut="free",
+    dopplers=None,  # optional list of per-channel Doppler (or None)
 ):
     """2-D sharding: channels over one mesh axis, each stream's TIME over
     the other — BASELINE.json's largest configuration (1024 channels x
-    long blocks across hosts).  The filter front-end runs fully parallel
-    on the (channel, time) grid with ppermute halo exchange along the
-    time axis only; the sequential M&M hand-off walks the time blocks
-    with all channels advancing together.
+    long blocks across hosts).
 
-    Returns (list of per-channel int8 symbol arrays).
+    PRODUCTION internals: each channel shard runs exactly the pipelined
+    systolic program (``_pipelined_shard_fn`` — banded-MXU front-end with
+    ring halos, k streams per ring group filling the 128 lanes, rotating
+    suffix-carry clock rounds) along the time axis; the channel axis is
+    embarrassingly parallel.  Per-channel Doppler tables ride the same
+    skew (``dopplers``).
+
+    Returns (list of per-channel int8 symbol arrays), bit-identical to
+    ``demod_pipelined`` of each channel shard, which is bit-identical to
+    the unsharded full-block step.
     """
+    if jax.default_backend() == "cpu":
+        interpret = True  # Mosaic kernels need a TPU; CPU = interpret mode
     c, n = iq.shape
+    n_c = mesh.shape[channel_axis]
     n_t = mesh.shape[time_axis]
-    d = config.decimation
-    block = -(-n // n_t)
-    block = -(-block // d) * d
-    padded = np.zeros((c, block * n_t), np.complex64)
-    padded[:, :n] = np.asarray(iq, np.complex64)
-    x = np.stack([padded.real, padded.imag], axis=1)  # (C, 2, N')
-    x = x.reshape(c, 2, n_t, block)
+    lanes = 128
+    # channels round-robin over channel shards: shard ci gets channels
+    # ci, ci+n_c, ... (keeps shard loads balanced for any C)
+    c_per = -(-c // n_c)
+    pipe_like = _PipeTaps(config, use_atan_lut)
+    from sdrmodem_tpu.dsp.clock_recovery import initial_full_state
+
+    p_clock = config.clock_params()
+
+    xs, tabs, ks = [], [], []
+    for ci in range(n_c):
+        chans = list(range(ci, c, n_c))
+        local = np.zeros((c_per, n), np.complex64)
+        local[: len(chans)] = iq[chans]
+        dops = None
+        if dopplers is not None:
+            dops = [dopplers[ch] for ch in chans] + [None] * (c_per - len(chans))
+        x_skew, dop_tabs, block, k = _skewed_layout(
+            local, dops, config, n_t, lanes
+        )
+        xs.append(x_skew)
+        ks.append(k)
+        tabs.append(dop_tabs)
+    k = ks[0]
+    have_dop = any(t is not None for t in tabs)
+    if have_dop:
+        rows = next(t.shape[2] for t in tabs if t is not None)
+        tabs = [
+            t if t is not None else np.zeros((n_t, 4, rows, lanes), np.float32)
+            for t in tabs
+        ]
+
     x = jax.device_put(
-        jnp.asarray(x), NamedSharding(mesh, P(channel_axis, None, time_axis, None))
+        jnp.asarray(np.stack(xs)),  # (n_c, n_t, B, 2*lanes)
+        NamedSharding(mesh, P(channel_axis, time_axis, None, None)),
+    )
+    cstate0 = initial_full_state(p_clock["omega"], k, p_clock["mu"])
+    cstate = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None, None], (n_c, n_t) + a.shape), cstate0
     )
 
-    taps1 = config.lpf1_taps()
-    taps2 = config.lpf2_taps()
-    tapsdc = dc_blocker_taps(config.dc_length) if config.use_dc_block else None
-
-    def local_front(blk):  # (Cl, 2, 1, Nb)
-        per_ch = jax.vmap(
-            lambda p: _front_end_block(p, config, taps1, taps2, tapsdc, time_axis)
+    def shard_fn(x_loc, cs, *dop):
+        x_tm = x_loc[0, 0]  # (B, 2*lanes)
+        cs = jax.tree.map(lambda a: a[0, 0], cs)
+        tab = dop[0][0, 0] if have_dop else None
+        outs, counts = _pipelined_shard_fn(
+            x_tm, cs, tab, pipe_like, time_axis, n_t, lanes, k,
+            clock_backend=clock_backend, interpret=interpret,
         )
-        return per_ch(blk[:, :, 0, :])[:, None, :]  # (Cl, 1, Nb/d)
+        return outs[None, None], counts[None, None]
 
-    front = jax.jit(
+    in_specs = [
+        P(channel_axis, time_axis, None, None),
+        jax.tree.map(lambda _: P(channel_axis, time_axis), cstate0),
+    ]
+    args = [x, cstate]
+    if have_dop:
+        in_specs.append(P(channel_axis, time_axis, None, None, None))
+        args.append(
+            jax.device_put(
+                jnp.asarray(np.stack(tabs)),
+                NamedSharding(mesh, P(channel_axis, time_axis, None, None, None)),
+            )
+        )
+    run = jax.jit(
         jax.shard_map(
-            local_front,
+            shard_fn,
             mesh=mesh,
-            in_specs=P(channel_axis, None, time_axis, None),
-            out_specs=P(channel_axis, time_axis, None),
+            in_specs=tuple(in_specs),
+            out_specs=(
+                P(channel_axis, time_axis, None, None, None, None),
+                P(channel_axis, time_axis, None, None, None),
+            ),
             check_vma=False,
         )
     )
-    soft = front(x)  # (C, n_t, block/d)
+    outs, counts = run(*args)
+    outs, counts = np.asarray(outs), np.asarray(counts)
 
-    # sequential clock hand-off over time blocks, all channels batched
-    p = config.clock_params()
-    clock = jax.jit(
-        jax.vmap(
-            lambda dta, st, nv: clock_mm_stream(
-                dta, state=st, n_valid=nv,
-                omega=p["omega"], gain_omega=p["gain_omega"], mu=p["mu"],
-                gain_mu=p["gain_mu"],
-                omega_relative_limit=p["omega_relative_limit"],
-            )
-        )
-    )
-    state = jax.tree.map(
-        lambda a: jnp.broadcast_to(a, (c,) + a.shape),
-        initial_state(p["omega"], p["mu"]),
-    )
-    valid_in = n // d
-    outs_per_channel = [[] for _ in range(c)]
-    for b in range(n_t):
-        remaining = valid_in - b * (block // d)
-        n_valid = jnp.full((c,), int(np.clip(remaining, 0, block // d)), jnp.int32)
-        outs, counts, state = clock(soft[:, b], state, n_valid)
-        outs, counts = np.asarray(outs), np.asarray(counts)
-        for ch in range(c):
-            outs_per_channel[ch].append(outs[ch, : counts[ch]])
-    return [
-        np.asarray(float_to_int8(jnp.asarray(np.concatenate(o))))
-        for o in outs_per_channel
-    ]
+    results = [None] * c
+    for ci in range(n_c):
+        chans = list(range(ci, c, n_c))
+        for li, ch in enumerate(chans):
+            j, g = li // k, li % k
+            parts = []
+            for r in range(n_t):
+                dev = (j + r) % n_t
+                for t in range(counts.shape[4]):
+                    parts.append(outs[ci, dev, r, g, t, : counts[ci, dev, r, g, t]])
+            results[ch] = np.concatenate(parts)
+    return results

@@ -65,7 +65,7 @@ def test_channel_sharded_state_carries_between_blocks(resources_dir):
 def test_time_sharded_equals_unsharded(resources_dir):
     iq = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)[:32768]
     mesh = _mesh("time")
-    symbols, count = demod_time_sharded(iq, CFG, mesh)
+    symbols, count = demod_time_sharded(iq, CFG, mesh, clock_backend="scan")
 
     ref_out, ref_count, _ = FskDemodulator(CFG, exact=False).process(jnp.asarray(iq))
     ref = np.asarray(ref_out)[: int(ref_count)]
@@ -188,7 +188,7 @@ def test_grid_sharded_channels_by_time(resources_dir):
     devices = np.array(jax.devices()[:8]).reshape(2, 4)
     mesh = Mesh(devices, axis_names=("channel", "time"))
 
-    outs = demod_grid_sharded(batch, CFG, mesh)
+    outs = demod_grid_sharded(batch, CFG, mesh, clock_backend="scan")
 
     ref_out, ref_count, _ = FskDemodulator(CFG, exact=False).process(jnp.asarray(iq))
     ref = np.asarray(ref_out)[: int(ref_count)]
@@ -196,3 +196,102 @@ def test_grid_sharded_channels_by_time(resources_dir):
         assert len(outs[ch]) == len(ref)
         diff = np.abs(outs[ch].astype(np.int32) - ref.astype(np.int32))
         assert diff.max() <= 2 and (diff > 0).mean() < 0.01
+
+
+def test_pipelined_lane_packing_k_streams(resources_dir):
+    """S > D: k = S/D streams pack per ring group, filling the vector
+    lanes (the round-3 path wasted 94% of lanes at S == D).  Every
+    stream must still equal its solo single-chip full-block run."""
+    from sdrmodem_tpu.dsp.pipeline import DemodPipeline
+    from sdrmodem_tpu.parallel.time_shard import demod_pipelined
+
+    n_dev, n, s_streams = 4, 16384, 10  # k = ceil(10/4) = 3, 2 pad lanes
+    iq = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)
+    rng = np.random.default_rng(3)
+    streams = np.stack(
+        [
+            iq[s * 512 : s * 512 + n]
+            + 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+            for s in range(s_streams)
+        ]
+    ).astype(np.complex64)
+
+    devices = np.array(jax.devices()[:n_dev])
+    mesh = Mesh(devices, axis_names=("time",))
+    outs = demod_pipelined(streams, CFG, mesh, clock_backend="scan")
+    assert len(outs) == s_streams
+
+    block = n // n_dev
+    pipe = DemodPipeline(CFG, block, exact=False, use_atan_lut=False)
+    step = pipe.make_batched_step_full("scan")
+    for s in range(s_streams):
+        st = pipe.init_full_state(1)
+        parts = []
+        for dd in range(n_dev):
+            x = np.stack(
+                [
+                    streams[s, dd * block : (dd + 1) * block].real,
+                    streams[s, dd * block : (dd + 1) * block].imag,
+                ]
+            )[None].astype(np.float32)
+            st, sym, cnt = step(st, jnp.asarray(x))
+            sym, cnt = np.asarray(sym), np.asarray(cnt)
+            parts.extend(sym[0, t, : cnt[0, t]] for t in range(cnt.shape[1]))
+        ref = np.concatenate(parts)
+        assert len(outs[s]) == len(ref), f"stream {s}"
+        diff = np.abs(outs[s].astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 2 and (diff > 0).mean() < 0.01
+
+
+def test_pipelined_doppler_golden(resources_dir):
+    """VERDICT item: Doppler through the sharded path.  The raw lucky7
+    capture with per-stream device Doppler tables (skewed like the data)
+    demodulates to the lucky7 golden symbols on the virtual mesh; a
+    doppler-free lane of the pre-corrected capture rides along."""
+    from sdrmodem_tpu.dsp.doppler import Doppler
+    from sdrmodem_tpu.parallel.time_shard import demod_pipelined
+    from tests.test_doppler import ARGS
+
+    n_dev = 4
+    raw = np.fromfile(resources_dir / "lucky7.cf32", dtype=np.complex64)
+    pre = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)
+    golden = np.fromfile(resources_dir / "lucky7.expected.s8", dtype=np.int8)
+    n = (len(raw) // (n_dev * CFG.decimation)) * n_dev * CFG.decimation
+    streams = np.stack([raw[:n], pre[:n]]).astype(np.complex64)
+
+    devices = np.array(jax.devices()[:n_dev])
+    mesh = Mesh(devices, axis_names=("time",))
+    outs = demod_pipelined(
+        streams, CFG, mesh, clock_backend="scan",
+        dopplers=[Doppler(**ARGS), None],
+    )
+    for s in range(2):
+        got = outs[s][: len(golden)]
+        m = min(len(got), len(golden))
+        assert m >= len(golden) - 2
+        diff = np.abs(got[:m].astype(np.int32) - golden[:m].astype(np.int32))
+        assert diff.max() <= 2, f"stream {s}: {(diff > 2).sum()} beyond"
+
+
+def test_grid_sharded_doppler(resources_dir):
+    """Per-channel Doppler through the 2-D grid (channel x time)."""
+    from sdrmodem_tpu.dsp.doppler import Doppler
+    from sdrmodem_tpu.parallel.time_shard import demod_grid_sharded
+    from tests.test_doppler import ARGS
+
+    raw = np.fromfile(resources_dir / "lucky7.cf32", dtype=np.complex64)
+    pre = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)
+    golden = np.fromfile(resources_dir / "lucky7.expected.s8", dtype=np.int8)
+    n = 32768
+    batch = np.stack([raw[:n], pre[:n], raw[:n], pre[:n]]).astype(np.complex64)
+    dops = [Doppler(**ARGS), None, Doppler(**ARGS), None]
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("channel", "time"))
+    outs = demod_grid_sharded(batch, CFG, mesh, clock_backend="scan", dopplers=dops)
+    for ch in range(4):
+        got = outs[ch]
+        m = min(len(got), len(golden))
+        assert m > 3000
+        diff = np.abs(got[:m].astype(np.int32) - golden[:m].astype(np.int32))
+        assert diff.max() <= 2, f"ch {ch}: {(diff > 2).sum()} beyond"
