@@ -498,6 +498,7 @@ class DemodPipeline:
     def make_batched_step_full(
         self, clock_backend: str = "pallas", *, interpret: bool = False,
         doppler: bool = False, layout: str = "cm", front: str | None = None,
+        jit: bool = True,
     ):
         """Batched full-block step: (state, x) -> (state', symbols (C, K),
         counts (C,)).  Every channel advances by exactly ``block`` samples;
@@ -580,8 +581,9 @@ class DemodPipeline:
             return new_state, float_to_int8(outs[:c]), counts[:c]
 
         if doppler:
-            return jax.jit(step)
-        return jax.jit(lambda state, x: step(state, x))
+            return jax.jit(step) if jit else step
+        plain = lambda state, x: step(state, x)
+        return jax.jit(plain) if jit else plain
 
     def make_batched_step(self, clock_backend: str = "scan", *, interpret: bool = False):
         """Batched (channel-axis) step.  ``clock_backend='pallas'`` runs the

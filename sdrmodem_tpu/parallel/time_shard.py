@@ -33,6 +33,26 @@ from sdrmodem_tpu.dsp.elementwise import atan2_dispatch, dc_blocker_taps
 from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig, float_to_int8
 
 
+def _put(arr: np.ndarray, sharding: NamedSharding):
+    """device_put that also works on a MULTI-PROCESS mesh (each process
+    contributes its addressable shards of the same global host array —
+    the DCN analog of the reference's per-host TCP fan-in)."""
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: np.ascontiguousarray(arr[idx])
+    )
+
+
+def _fetch(x) -> np.ndarray:
+    """Gather a (possibly cross-process) sharded array to every host."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def demod_time_sharded(
     iq: np.ndarray,
     config: FskDemodConfig,
@@ -185,9 +205,7 @@ def demod_pipelined(
     s_streams = iq.shape[0]
     lanes = 128  # conv1d_banded_tm lane granule
     x_skew, dop_tabs, block, k = _skewed_layout(iq, dopplers, config, n_dev, lanes)
-    x = jax.device_put(
-        jnp.asarray(x_skew), NamedSharding(mesh, P(axis, None, None))
-    )
+    x = _put(x_skew, NamedSharding(mesh, P(axis, None, None)))
 
     pipe_like = _PipeTaps(config, use_atan_lut)
     from sdrmodem_tpu.dsp.clock_recovery import initial_full_state
@@ -210,16 +228,16 @@ def demod_pipelined(
     in_specs = [P(axis, None, None), P(axis)]
     args = [x]
     cstate = jax.tree.map(
-        lambda a: jnp.broadcast_to(a[None], (n_dev,) + a.shape), cstate0
+        lambda a: _put(
+            np.broadcast_to(np.asarray(a)[None], (n_dev,) + a.shape),
+            NamedSharding(mesh, P(axis)),
+        ),
+        cstate0,
     )
     args.append(cstate)
     if have_dop:
         in_specs.append(P(axis, None, None, None))
-        args.append(
-            jax.device_put(
-                jnp.asarray(dop_tabs), NamedSharding(mesh, P(axis, None, None, None))
-            )
-        )
+        args.append(_put(dop_tabs, NamedSharding(mesh, P(axis, None, None, None))))
     run = jax.jit(
         jax.shard_map(
             shard_fn,
@@ -230,7 +248,7 @@ def demod_pipelined(
         )
     )
     outs, counts = run(*args)
-    outs, counts = np.asarray(outs), np.asarray(counts)
+    outs, counts = _fetch(outs), _fetch(counts)
 
     # reassemble: stream (j, g)'s block r was produced on device (j + r)
     # mod D, slot g.  When n is not a multiple of D*decimation the zero
@@ -471,13 +489,17 @@ def demod_grid_sharded(
             for t in tabs
         ]
 
-    x = jax.device_put(
-        jnp.asarray(np.stack(xs)),  # (n_c, n_t, B, 2*lanes)
+    x = _put(
+        np.stack(xs),  # (n_c, n_t, B, 2*lanes)
         NamedSharding(mesh, P(channel_axis, time_axis, None, None)),
     )
     cstate0 = initial_full_state(p_clock["omega"], k, p_clock["mu"])
     cstate = jax.tree.map(
-        lambda a: jnp.broadcast_to(a[None, None], (n_c, n_t) + a.shape), cstate0
+        lambda a: _put(
+            np.broadcast_to(np.asarray(a)[None, None], (n_c, n_t) + a.shape),
+            NamedSharding(mesh, P(channel_axis, time_axis)),
+        ),
+        cstate0,
     )
 
     def shard_fn(x_loc, cs, *dop):
@@ -498,8 +520,8 @@ def demod_grid_sharded(
     if have_dop:
         in_specs.append(P(channel_axis, time_axis, None, None, None))
         args.append(
-            jax.device_put(
-                jnp.asarray(np.stack(tabs)),
+            _put(
+                np.stack(tabs),
                 NamedSharding(mesh, P(channel_axis, time_axis, None, None, None)),
             )
         )
@@ -516,7 +538,7 @@ def demod_grid_sharded(
         )
     )
     outs, counts = run(*args)
-    outs, counts = np.asarray(outs), np.asarray(counts)
+    outs, counts = _fetch(outs), _fetch(counts)
 
     results = [None] * c
     for ci in range(n_c):

@@ -325,9 +325,7 @@ class BatchedRxGroup:
         # broadcasts it to the lanes on-device — no per-lane host copies
         # and no (C,2,B)->(B,2C) device transpose (the group exists
         # precisely because every lane demodulates the same SDR stream)
-        self._step = self.pipe.make_batched_step_full(
-            "pallas", doppler=True, layout="fanout"
-        )
+        self._step = self._build_step()
         # device-side Doppler: S piecewise-linear phase rows per block
         # (host keeps the 1 Hz SGP4 bookkeeping; Doppler.device_segments)
         self.dop_rows = Doppler.max_rows(block, fsk_config.sampling_freq)
@@ -346,6 +344,58 @@ class BatchedRxGroup:
         # per-lane clock-overflow totals as of the previous step, to turn
         # the device's cumulative counter into per-step deltas
         self._overflow_prev = np.zeros(self.LANES, np.float32)
+
+    def _build_step(self):
+        """The batched fanout step; with SDRM_SERVER_MESH enabled and more
+        than one accelerator visible, the step is shard_mapped over a
+        ``channel`` mesh built from jax.devices() — lanes (clients) split
+        across chips with NO collectives (each lane is an independent
+        demod, the reference's thread-per-client made data-parallel).
+        The shared (2, block) stream is replicated; state and outputs
+        shard on their channel axis."""
+        import jax
+
+        mesh_env = os.environ.get("SDRM_SERVER_MESH", "0")
+        devs = jax.devices()
+        # each shard must keep a 128-lane multiple (the kernels' vector
+        # granule): use the most devices that divide LANES into 128s
+        n_use = 1
+        if mesh_env not in ("0", "", "off"):
+            for n in range(len(devs), 1, -1):
+                if self.LANES % n == 0 and (self.LANES // n) % 128 == 0:
+                    n_use = n
+                    break
+        if n_use == 1:
+            return self.pipe.make_batched_step_full(
+                "pallas", doppler=True, layout="fanout"
+            )
+        import numpy as _np
+
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        mesh = Mesh(_np.array(devs[:n_use]), axis_names=("channel",))
+        raw = self.pipe.make_batched_step_full(
+            "pallas", doppler=True, layout="fanout", jit=False
+        )
+        # state leaves are channel-LAST (time-major); outputs channel-first
+        state_spec = jax.tree.map(
+            lambda a: P(*((None,) * (a.ndim - 1)), "channel"),
+            self.pipe.init_full_state(self.LANES),
+        )
+        dop_spec = (P(None, "channel"),) * 4
+        log.info(
+            "rx group sharding %d lanes over %d devices (SDRM_SERVER_MESH)",
+            self.LANES, n_use,
+        )
+        return jax.jit(
+            jax.shard_map(
+                raw,
+                mesh=mesh,
+                in_specs=(state_spec, P(), dop_spec),
+                out_specs=(state_spec, P("channel"), P("channel")),
+                check_vma=False,
+            )
+        )
 
     def has_space(self) -> bool:
         return len(self.lanes) < self.LANES
