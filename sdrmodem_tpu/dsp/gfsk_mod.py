@@ -79,6 +79,73 @@ class GfskModulator:
         filtered = interp_fir_stream(nrz, self.taps, self.interpolation)
         return freq_mod_stream_pair(filtered, self.config.sensitivity, phase0, exact=exact)
 
+    def process_pair_kernel(self, data: jnp.ndarray, phase0=None, *, interpret: bool = False):
+        """Fused-kernel TX (ops/pallas_tx.py): the whole NRZ → polyphase →
+        VCO chain as ONE Pallas program — the production TPU path (the
+        XLA chain is ~18 dispatch-bound ops on a latency-dominated block).
+
+        data: uint8 (N,) or (C<=128, N).  Returns (I, Q, next_phase) with
+        I/Q shaped like ``data`` expanded to N*8*int(sps) samples.
+        Numerics match ``process_pair(exact=False)`` within f32 phase
+        rounding (~1e-5 rad; golden tolerance is 0.01)."""
+        from sdrmodem_tpu.ops.pallas_tx import (
+            LANES,
+            choose_tile,
+            gfsk_tx_call,
+            gfsk_tx_call_folded,
+        )
+
+        single = data.ndim == 1
+        if single:
+            # single stream: the FOLDED kernel (stream split across the
+            # 128 lanes, one grid step) — the lane-per-stream variant
+            # wastes 127 lanes and burns sequential grid-step overhead
+            nrz = bytes_to_nrz(data)
+            nbits = nrz.shape[0]
+            pad = (-nbits) % (8 * LANES)
+            nrz_p = jnp.pad(nrz, (0, pad))
+            t2d_k = (
+                len(self.taps) + (-len(self.taps)) % self.interpolation
+            ) // self.interpolation
+            i, q, phase = gfsk_tx_call_folded(
+                nrz_p, self.taps, self.interpolation, self.config.sensitivity,
+                0.0 if phase0 is None else phase0,
+                jnp.zeros((t2d_k - 1,), jnp.float32),
+                n_valid=nbits, interpret=interpret,
+            )
+            n_out = nbits * self.interpolation
+            return i[:n_out], q[:n_out], phase
+        batch = data
+        c = batch.shape[0]
+        if c > LANES:
+            raise ValueError("process_pair_kernel handles up to 128 streams")
+        nrz = bytes_to_nrz(batch)  # (C, Nbits)
+        nbits = nrz.shape[-1]
+        # zero-pad rows to the tile granule: zero NRZ adds zero phase, so
+        # the carried phase is exact and the extra samples are trimmed
+        pad_rows = (-nbits) % 8
+        assert choose_tile(nbits + pad_rows) is not None
+        nrz_tm = jnp.transpose(nrz)  # (Nbits, C)
+        nrz_tm = jnp.pad(nrz_tm, ((0, pad_rows), (0, LANES - c)))
+        if phase0 is None:
+            ph = jnp.zeros((LANES,), jnp.float32)
+        else:
+            ph = jnp.zeros((LANES,), jnp.float32).at[:c].set(
+                jnp.broadcast_to(jnp.asarray(phase0, jnp.float32), (c,))
+            )
+        t2d_k = (len(self.taps) + (-len(self.taps)) % self.interpolation) // self.interpolation
+        hist = jnp.zeros((t2d_k - 1, LANES), jnp.float32)
+        i_tm, q_tm, phase, _ = gfsk_tx_call(
+            nrz_tm, self.taps, self.interpolation, self.config.sensitivity,
+            ph, hist, interpret=interpret,
+        )
+        n_out = nbits * self.interpolation
+        i = jnp.transpose(i_tm[:n_out, :c])
+        q = jnp.transpose(q_tm[:n_out, :c])
+        if single:
+            return i[0], q[0], phase[0]
+        return i, q, phase[:c]
+
     @cached_property
     def jit_process(self):
         return jax.jit(lambda data: self.process(data)[0])

@@ -35,33 +35,53 @@ def main():
     # pair path (I/Q float32): the TPU backend has no complex dtype
     mod = GfskModulator(GfskModConfig.from_radio(19200, 9600, 5000))
     data = jnp.asarray(rng.integers(0, 255, 2048).astype(np.uint8))
-    step = jax.jit(lambda d: mod.process_pair(d)[:2])
-    i, q = step(data)  # compile
-    float(jnp.sum(i))
-    t0 = time.perf_counter()
-    for _ in range(100):
-        out = step(data)
-    float(jnp.sum(out[0]))
-    mod_dt = time.perf_counter() - t0
-    out_samples = 100 * 2048 * 8 * 2
-    print(f"gfsk_mod : 100 x 2048 bytes in {mod_dt:.6f} s "
-          f"({out_samples/mod_dt/1e6:.1f} Msamples/s produced) "
-          f"[reference M1: 0.044 s = 74 Msamples/s]")
+    interpret = jax.devices()[0].platform == "cpu"
+
+    def bench_tx(name, step):
+        i, q = step(data)  # compile
+        float(jnp.sum(i))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(100):
+            out = step(data)
+        float(jnp.sum(out[0]))
+        dt = time.perf_counter() - t0
+        out_samples = 100 * 2048 * 8 * 2
+        print(f"gfsk_mod {name}: 100 x 2048 bytes in {dt:.6f} s "
+              f"({out_samples/dt/1e6:.1f} Msamples/s produced) "
+              f"[reference M1: 0.044 s = 74 Msamples/s]")
+        return dt
+
+    bench_tx("xla  ", jax.jit(lambda d: mod.process_pair(d)[:2]))
+    # production fused-kernel path (ops/pallas_tx.py): the whole chain in
+    # one Mosaic program — the XLA chain is dispatch-bound on tiny blocks
+    bench_tx(
+        "fused",
+        jax.jit(lambda d: mod.process_pair_kernel(d, interpret=interpret)[:2]),
+    )
 
     # --- gfsk_mod, production shape: 128 channels batched per dispatch
     channels = 128
     datab = jnp.asarray(rng.integers(0, 255, (channels, 2048)).astype(np.uint8))
-    stepb = jax.jit(lambda d: mod.process_pair(d)[:2])
-    ib, qb = stepb(datab)
-    float(jnp.sum(ib))
-    t0 = time.perf_counter()
-    for _ in range(20):
-        outb = stepb(datab)
-    float(jnp.sum(outb[0]))
-    modb_dt = time.perf_counter() - t0
-    outb_samples = 20 * channels * 2048 * 8 * 2
-    print(f"gfsk_mod : 20 x {channels}ch x 2048 bytes in {modb_dt:.6f} s "
-          f"({outb_samples/modb_dt/1e6:.1f} Msamples/s produced, batched)")
+
+    def bench_txb(name, stepb):
+        ib, qb = stepb(datab)
+        float(jnp.sum(ib))
+        t0 = time.perf_counter()
+        outb = None
+        for _ in range(20):
+            outb = stepb(datab)
+        float(jnp.sum(outb[0]))
+        dt = time.perf_counter() - t0
+        outb_samples = 20 * channels * 2048 * 8 * 2
+        print(f"gfsk_mod {name}: 20 x {channels}ch x 2048 bytes in {dt:.6f} s "
+              f"({outb_samples/dt/1e6:.1f} Msamples/s produced, batched)")
+
+    bench_txb("xla  ", jax.jit(lambda d: mod.process_pair(d)[:2]))
+    bench_txb(
+        "fused",
+        jax.jit(lambda d: mod.process_pair_kernel(d, interpret=interpret)[:2]),
+    )
 
     # --- fsk_demod
     pipe = DemodPipeline(FskDemodConfig(48000, 4800, 5000, 2, 2000, True), 4096, exact=False, use_atan_lut="free")
