@@ -173,6 +173,25 @@ class RxSession:
             return
         self.task = asyncio.create_task(self._run(), name=f"rx-session-{self.id}")
 
+    def to_standalone(self):
+        """Demote a fast-mode session to its own per-client ragged
+        pipeline (float32, same numerics class as the batched step).
+
+        Fast-mode lanes batch by EXACT demod-config equality; a client
+        whose config matches no group when the per-stream group cap
+        (SDRM_MAX_GROUPS) is reached would otherwise spawn yet another
+        full Pallas program stepping mostly-empty lanes — quadratically
+        wasteful as configs diversify.  The demoted session takes the
+        queue/worker path instead (one reference dsp_worker thread)."""
+        assert self.mode == "fast" and self.task is None
+        self.mode = "standalone"
+        self.demod = DemodPipeline(
+            self.fsk_config, block_size=self.config.buffer_size, exact=False
+        ).streamer()
+        log.info(
+            "[%d] demod group cap reached; running as standalone lane", self.id
+        )
+
     async def emit(self, symbols: np.ndarray):
         """Deliver one lane's demodulated symbols (fast mode).
 
@@ -575,6 +594,13 @@ class SdrStream:
                 if g.fsk_config == session.fsk_config and g.has_space():
                     g.attach(session)
                     return
+            # bound the number of compiled batched programs per stream:
+            # a client whose config matches no group beyond the cap runs
+            # standalone instead of spawning another mostly-empty step
+            max_groups = int(os.environ.get("SDRM_MAX_GROUPS", "8"))
+            if len(self.groups) >= max_groups:
+                session.to_standalone()
+                return
             group = BatchedRxGroup(
                 session.fsk_config,
                 session.config.buffer_size,

@@ -752,3 +752,62 @@ def test_group_mesh_shards_lanes_over_devices(tmp_path, monkeypatch, resources_d
     assert d.max() <= 2 and (d > 0).mean() < 0.01
     dg = np.abs(sharded.astype(np.int32) - golden[: len(sharded)].astype(np.int32))
     assert dg.max() <= 2
+
+
+def test_group_cap_demotes_to_standalone(tmp_path, monkeypatch, resources_dir):
+    """SDRM_MAX_GROUPS: a fast-mode client whose demod config matches no
+    existing group past the cap runs as a standalone ragged lane instead
+    of spawning another batched program; both clients still get correct
+    symbol streams from the shared SDR connection."""
+    monkeypatch.setenv("SDRM_MAX_GROUPS", "1")
+    iq = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)[:24576]
+    golden = np.fromfile(resources_dir / "lucky7.expected.s8", dtype=np.int8)
+
+    async def body():
+        mock = MockSdrServer()
+        ss_port = await mock.start()
+        config = make_config(
+            tmp_path,
+            rx_sdr_type=RxSdrType.SDR_SERVER,
+            rx_sdr_server_port=ss_port,
+            demod_mode="fast",
+        )
+        server = SdrModemServer(config)
+        await server.start()
+
+        c1 = await ModemClient.connect("127.0.0.1", server.port)
+        assert (await c1.rx_request(rx_request())).status == wire.ResponseStatus.SUCCESS
+        # different transition width -> different demod config -> no group
+        # available under the cap -> standalone fallback
+        c2 = await ModemClient.connect("127.0.0.1", server.port)
+        req2 = rx_request(
+            fsk_settings=wire.FskDemodulationSettings(
+                demod_fsk_deviation=5000, demod_fsk_transition_width=1000,
+                demod_fsk_use_dc_block=True,
+            )
+        )
+        assert (await c2.rx_request(req2)).status == wire.ResponseStatus.SUCCESS
+        await mock.wait_client()
+        assert len(server.streams) == 1
+        stream = server.streams[0]
+        assert len(stream.groups) == 1  # cap respected
+        modes = sorted(s.mode for s in stream.sessions)
+        assert modes == ["fast", "standalone"]
+
+        await mock.send_iq(iq)
+        d1 = np.frombuffer(await c1.read_stream(2300, timeout=90), dtype=np.int8)
+        d2 = np.frombuffer(await c2.read_stream(2300, timeout=90), dtype=np.int8)
+        diff1 = np.abs(d1.astype(np.int32) - golden[: len(d1)].astype(np.int32))
+        assert diff1.max() <= 2
+        # the standalone client demodulates with its own (different-
+        # transition-width) filter; just require a sane soft stream
+        assert np.abs(d2.astype(np.int32)).max() > 20
+
+        await c1.shutdown()
+        await c2.shutdown()
+        c1.close()
+        c2.close()
+        await mock.stop()
+        await server.stop()
+
+    run(body())
