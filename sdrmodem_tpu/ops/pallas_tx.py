@@ -226,7 +226,7 @@ def _tx_folded_kernel(
     tot = row_carry  # (1, F) per-lane totals
     tot_m = tot - two_pi * jnp.floor(tot * jnp.float32(1.0 / _TWO_PI))
     base_lane = dot_hi(tot_m, ut_ref[:, :])  # (1, F) exclusive lane prefix
-    phase0 = p_ref[0, 0]
+    phase0 = p_ref[0:1, 0:1]  # (1, 1) — scalar loads/stores don't lower
     base = phase0 + base_lane + (p_incl - group_total)
 
     partial = jnp.zeros_like(group_total)
@@ -237,9 +237,9 @@ def _tx_folded_kernel(
         outs_i[i][:, :] = jnp.cos(ph)
         outs_q[i][:, :] = jnp.sin(ph)
 
-    end_phase = base_lane[0, f - 1] + tot_m[0, f - 1] + phase0
+    end_phase = base_lane[0:1, f - 1 : f] + tot_m[0:1, f - 1 : f] + phase0
     end_phase = end_phase - two_pi * jnp.floor(end_phase * jnp.float32(1.0 / _TWO_PI))
-    po_ref[0, 0] = end_phase
+    po_ref[0:1, 0:1] = end_phase
 
 
 def gfsk_tx_call_folded(
