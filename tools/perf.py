@@ -60,6 +60,48 @@ def main():
         jax.jit(lambda d: mod.process_pair_kernel(d, interpret=interpret)[:2]),
     )
 
+    # same single stream, full-size TxData messages: the wire protocol
+    # caps messages at 32 KiB (reference src/api_utils.c:8), and the
+    # server runs ONE fused call per TxData — at 2048-byte messages the
+    # per-dispatch floor of the backend dominates, at 25600-byte messages
+    # the stream sustains its real single-client rate (8 messages here
+    # carry the same 204800 bytes as the 100x2048 reference shape)
+    data_big = jnp.asarray(rng.integers(0, 255, 25600).astype(np.uint8))
+    step_big = jax.jit(lambda d: mod.process_pair_kernel(d, interpret=interpret)[:2])
+    ib, qb = step_big(data_big)
+    float(jnp.sum(ib))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(8):
+        out = step_big(data_big)
+    float(jnp.sum(out[0]))
+    dt = time.perf_counter() - t0
+    n_out = 8 * 25600 * 8 * 2
+    print(f"gfsk_mod fused, 25600-B TxData: 8 msgs ({n_out/1e6:.2f} Msamples) in "
+          f"{dt:.6f} s ({n_out/dt/1e6:.1f} Msamples/s produced, single stream)")
+
+    # sustained single stream, FORCED sequential: the carried VCO phase
+    # threads through every call, so no iteration can be elided or
+    # reordered — genuine phase-continuous streaming of one client
+    step_thr = jax.jit(
+        lambda d, p: mod.process_pair_kernel(d, phase0=p, interpret=interpret)
+    )
+    i0, q0, ph = step_thr(data_big, jnp.float32(0.0))
+    float(jnp.sum(i0))
+    iters = 16
+    t0 = time.perf_counter()
+    ph = jnp.float32(0.0)
+    out = None
+    for _ in range(iters):
+        out = step_thr(data_big, ph)
+        ph = out[2]
+    float(jnp.sum(out[0]) + out[2])
+    dt = time.perf_counter() - t0
+    n_out = iters * 25600 * 8 * 2
+    print(f"gfsk_mod fused, sustained stream ({iters} x 25600-B TxData, "
+          f"phase-threaded): {n_out/1e6:.2f} Msamples in {dt:.6f} s "
+          f"({n_out/dt/1e6:.1f} Msamples/s, single stream)")
+
     # --- gfsk_mod, production shape: 128 channels batched per dispatch
     channels = 128
     datab = jnp.asarray(rng.integers(0, 255, (channels, 2048)).astype(np.uint8))
