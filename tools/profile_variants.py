@@ -46,7 +46,8 @@ def main() -> None:
         np.concatenate([tiled.real.T, tiled.imag.T], axis=1).astype(np.float32)
     )
 
-    def run(name, layout, atan, precision, shift_max, front_only=False):
+    def run(name, layout, atan, precision, shift_max, front_only=False,
+            front="fused"):
         os.environ["SDRM_FIR_PRECISION"] = precision
         os.environ["SDRM_CLOCK_SHIFT_MAX"] = str(shift_max)
         pipe = DemodPipeline(cfg, block, exact=False, use_atan_lut=atan)
@@ -56,16 +57,22 @@ def main() -> None:
             # walk's share of the production step
             import jax as _jax
 
+            fe = (
+                pipe._front_fused_full
+                if front == "fused" and pipe.fused_front_available()
+                else pipe._front_batched_full
+            )
+
             @_jax.jit
             def step(state, x):
-                front, y3 = pipe._front_batched_full(state, x)
+                fstate, y3 = fe(state, x)
                 from sdrmodem_tpu.dsp.pipeline import DemodStateFull
 
                 # cnt here is a CHAIN-FORCING checksum (a float signal
                 # sum), not a symbol count — printed as such below
-                return DemodStateFull(*front, state.clock), y3, jnp.sum(y3)
+                return DemodStateFull(*fstate, state.clock), y3, jnp.sum(y3)
         else:
-            step = pipe.make_batched_step_full("pallas", layout=layout)
+            step = pipe.make_batched_step_full("pallas", layout=layout, front=front)
         state = pipe.init_full_state(channels)
         x = x_cm if layout == "cm" else x_tm
         state, sym, cnt = step(state, x)  # compile + warm
@@ -82,23 +89,21 @@ def main() -> None:
               f"[checksum {checksum}]", flush=True)
         return dt
 
-    base = run("cm free bf16x3 shift512 (baseline)", "cm", "free", "bf16x3", 512)
-    tm = run("tm free bf16x3 shift512", "tm", "free", "bf16x3", 512)
-    at2 = run("tm atan2 bf16x3 shift512", "tm", False, "bf16x3", 512)
-    nul = run("tm null-atan bf16x3 shift512", "tm", "null", "bf16x3", 512)
-    bf2 = run("tm free bf16x2 shift512", "tm", "free", "bf16x2", 512)
-    oh = run("tm free bf16x3 shift0 (one-hot clk)", "tm", "free", "bf16x3", 0)
-    fr = run("tm free bf16x3 FRONT-ONLY (no clk)", "tm", "free", "bf16x3", 512,
+    tm = run("tm fused-front bf16x3 (production)", "tm", "free", "bf16x3", 512)
+    banded = run("tm BANDED front bf16x3", "tm", "free", "bf16x3", 512,
+                 front="banded")
+    fr = run("tm fused FRONT-ONLY (no clk)", "tm", "free", "bf16x3", 512,
              front_only=True)
+    frb = run("tm banded FRONT-ONLY (no clk)", "tm", "free", "bf16x3", 512,
+              front_only=True, front="banded")
+    oh = run("tm fused shift0 (one-hot clk)", "tm", "free", "bf16x3", 0)
 
     print("\n--- attribution (deltas) ---")
-    print(f"device transpose (cm - tm)        : {(base-tm)*1e3:8.2f} ms")
-    print(f"atan free vs arctan2              : {(tm-at2)*1e3:8.2f} ms")
-    print(f"atan free vs none (total atan)    : {(tm-nul)*1e3:8.2f} ms")
-    print(f"FIR bf16x3 vs bf16x2 (1 MXU pass) : {(tm-bf2)*1e3:8.2f} ms")
-    print(f"clock shifted-FMA vs one-hot      : {(oh-tm)*1e3:8.2f} ms")
-    print(f"front-end (FIRs+atan+DC) alone    : {fr*1e3:8.2f} ms")
+    print(f"front fusion win (banded - fused) : {(banded-tm)*1e3:8.2f} ms")
+    print(f"fused front-end alone             : {fr*1e3:8.2f} ms")
+    print(f"banded front-end alone            : {frb*1e3:8.2f} ms")
     print(f"M&M clock kernel share (tm - fr)  : {(tm-fr)*1e3:8.2f} ms")
+    print(f"clock shifted-FMA vs one-hot      : {(oh-tm)*1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
