@@ -54,7 +54,14 @@ from sdrmodem_tpu.dsp import taps as taps_mod
 LANES = 128
 NTAPS = 8
 POLY_DEG = 7
-UNROLL = 8
+# symbols advanced per kernel group: window setup (subtile slide, shifted
+# copies) amortizes over the group.  Env-tunable at IMPORT time for
+# benchmarking (SDRM_CLOCK_UNROLL); must be a multiple of 8 so k_pad
+# stays sublane-aligned.
+import os as _os
+
+UNROLL = int(_os.environ.get("SDRM_CLOCK_UNROLL", "8"))
+assert UNROLL % 8 == 0 and UNROLL > 0
 SUB = 128  # fast-branch subtile rows
 SUFFIX = 64  # carried input tail rows (must equal clock_recovery.SUFFIX)
 def _shift_max() -> int:
