@@ -150,9 +150,10 @@ class Doppler:
     # (dsp/elementwise.py nco_mix_pair_tm), mirroring the reference's
     # split between doppler_calculate_shift and the volk NCO multiply
     # (src/dsp/doppler.c:164-186, src/dsp/sig_source.c:60-75).
-    MAX_SEG = 4096  # sub-split long segments so the device's f32 phase
-    # ramp ph0 + i*adj keeps i small (absolute f32 error ~ i*adj*2^-24;
-    # at 4096 samples it is <1e-3 rad, below the goldens' 0.01 tolerance)
+    MAX_SEG = 4096  # granule of the device ramp's two-level split: the
+    # f32 error of m*adj at m < 4096 is <1e-3 rad (below the goldens'
+    # 0.01 tolerance); the k*step coarse term is computed in f64 per row
+    # (elementwise.nco_mix_pair_tm), so rows span whole 1 Hz segments
 
     def device_segments(self, n: int, direction: int, max_batch: int | None = None):
         """Advance one ``n``-sample block of stream time and return the
@@ -188,15 +189,16 @@ class Doppler:
         return rows
 
     def _device_segments_one(self, n: int, direction: int, base: int):
+        # one row per piecewise-constant frequency segment; the device
+        # ramp evaluates d*adj in a two-level (k*4096 + m) form
+        # (elementwise.nco_mix_pair_tm), so long segments need no
+        # MAX_SEG sub-splitting — O(rows)/sample mix cost stays at the
+        # 1 Hz update count
         rows = []
         for start, batch, freq in self._segments(n, direction):
             adj = float(np.float32(_TWO_PI32 * np.float32(freq) / np.float32(self.fs)))
-            off = 0
-            while off < batch:
-                ln = min(self.MAX_SEG, batch - off)
-                ph0 = float(np.mod(self.phase + off * adj, 2 * np.pi))
-                rows.append((base + start + off, ln, np.float32(adj), np.float32(ph0)))
-                off += ln
+            ph0 = float(np.mod(self.phase, 2 * np.pi))
+            rows.append((base + start, batch, np.float32(adj), np.float32(ph0)))
             self.phase = np.fmod(self.phase + batch * adj, 2 * np.pi)
         return rows
 
@@ -205,6 +207,5 @@ class Doppler:
         """Static bound on device_segments rows for an n-sample block."""
         boundaries = n // int(sampling_freq) + 2  # 1 Hz update splits
         if max_batch is None:
-            return -(-n // cls.MAX_SEG) + boundaries
-        per = min(max_batch, cls.MAX_SEG)
-        return -(-n // per) + boundaries + 1
+            return boundaries
+        return -(-n // int(max_batch)) + boundaries + 1

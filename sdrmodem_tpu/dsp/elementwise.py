@@ -369,9 +369,19 @@ def nco_mix_pair_tm(
     s_rows = starts.shape[0]
     n = jax.lax.broadcasted_iota(jnp.float32, (b, 1), 0)
     phase = jnp.zeros((b, cp), jnp.float32)
+    # two-level ramp: d*adj for d up to a whole 1 Hz segment would lose
+    # f32 bits, so d = k*4096 + m and the per-4096 phase step is computed
+    # once per row in f64 (reduced mod 2pi) — rows no longer need the
+    # 4096-sample split (Doppler.MAX_SEG), cutting the O(rows)/sample mix
+    # passes ~12x on large blocks.  Rows with d < 4096 take k = 0 and are
+    # BIT-IDENTICAL to the single-level ramp, so split tables still match.
+    steps = jnp.mod(adjs.astype(jnp.float64) * 4096.0, 2 * np.pi).astype(jnp.float32)
     for s in range(s_rows):
         active = (n >= starts[s][None, :]) & (n < ends[s][None, :])
-        ramp = ph0s[s][None, :] + (n - starts[s][None, :]) * adjs[s][None, :]
+        d = n - starts[s][None, :]
+        k = jnp.floor(d * jnp.float32(1.0 / 4096.0))
+        m = d - k * jnp.float32(4096.0)
+        ramp = ph0s[s][None, :] + m * adjs[s][None, :] + k * steps[s][None, :]
         phase = phase + jnp.where(active, ramp, 0.0)
     c, si = jnp.cos(phase), jnp.sin(phase)
     i, q = x_tm[:, :cp], x_tm[:, cp:]
