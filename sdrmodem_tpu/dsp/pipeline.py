@@ -452,11 +452,13 @@ class DemodPipeline:
         return (lpf1_hist, quad_prev, lpf2_hist, dc_hist), y3
 
     def _front_fused_full(
-        self, state: DemodStateFull, x_tm: jnp.ndarray, *, interpret: bool = False
+        self, state: DemodStateFull, x_tm: jnp.ndarray, *, interpret: bool = False,
+        dop=None,
     ):
         """Fused single-kernel front-end (ops/pallas_front.py) — same
         signature and BIT-IDENTICAL results as ``_front_batched_full``,
-        at ~1/7th of its HBM traffic."""
+        at ~1/7th of its HBM traffic.  With ``dop`` (device-Doppler NCO
+        tables) the mix fuses into the kernel too."""
         from sdrmodem_tpu.ops.pallas_front import fused_front_call
 
         y3, front = fused_front_call(
@@ -465,12 +467,13 @@ class DemodPipeline:
             state.quad_prev,
             state.lpf2_hist,
             state.dc_hist,
-            self._front_spec(),
+            self._front_spec(dop_rows=dop[0].shape[0] if dop is not None else 0),
+            dop=dop,
             interpret=interpret,
         )
         return front, y3
 
-    def _front_spec(self):
+    def _front_spec(self, dop_rows: int = 0):
         from sdrmodem_tpu.ops.pallas_front import FrontSpec
 
         return FrontSpec(
@@ -480,6 +483,7 @@ class DemodPipeline:
             d=self.config.decimation,
             quad_gain=self.config.quad_gain,
             atan_mode=self.use_atan_lut,
+            dop_rows=dop_rows,
         )
 
     def fused_front_available(self) -> bool:
@@ -562,13 +566,17 @@ class DemodPipeline:
             else:  # "tm"
                 c = cp
                 x_tm = x
-            if dop is not None:
-                from sdrmodem_tpu.dsp.elementwise import nco_mix_pair_tm
-
-                x_tm = nco_mix_pair_tm(x_tm, *dop)
             if front == "fused":
-                fstate, y3 = self._front_fused_full(state, x_tm, interpret=interpret)
+                # the Doppler NCO mix fuses INTO the front kernel (no
+                # separate HBM round trip of the mixed stream)
+                fstate, y3 = self._front_fused_full(
+                    state, x_tm, interpret=interpret, dop=dop
+                )
             else:
+                if dop is not None:
+                    from sdrmodem_tpu.dsp.elementwise import nco_mix_pair_tm
+
+                    x_tm = nco_mix_pair_tm(x_tm, *dop)
                 fstate, y3 = self._front_batched_full(state, x_tm, interpret=interpret)
             outs, counts, clock_state = clock_mm_batched_full(
                 y3, state.clock,

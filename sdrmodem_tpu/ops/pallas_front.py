@@ -68,6 +68,7 @@ class FrontSpec(NamedTuple):
     d: int  # LPF2 decimation
     quad_gain: float
     atan_mode: object  # atan2_dispatch mode; must be gather-free in-kernel
+    dop_rows: int = 0  # device-Doppler NCO table rows (0 = no mix stage)
 
     @property
     def head1(self) -> int:
@@ -129,6 +130,7 @@ def _front_kernel(
     rd = r // d
 
     # unpack refs: inputs, outputs, scratch (order fixed by fused_front_call)
+    dop = spec.dop_rows > 0
     it = iter(refs)
     x_ref = next(it)
     h1_ref = next(it)
@@ -138,6 +140,7 @@ def _front_kernel(
     w1_ref = next(it)
     w2_ref = next(it)
     w3_ref = next(it) if use_dc else None
+    dop_ref = next(it) if dop else None  # (5, S_rows, Cp): start/end/adj/ph0/step4096
     y3_ref = next(it)
     h1o_ref = next(it)
     qpo_ref = next(it)
@@ -174,8 +177,39 @@ def _front_kernel(
             tmp[0:h3, :cp] = buf3[rd : rd + h3, :]
             buf3[0:h3, :] = tmp[0:h3, :cp]
 
-    # ---- stage 1: LPF1 (complex as 2*Cp independent lanes, stride 1)
-    buf1[h1 : h1 + r, :] = x_ref[:, :]
+    # ---- stage 0 (optional): device Doppler — the per-lane piecewise-
+    # linear-phase NCO multiply applied per tile before LPF1, fused so
+    # the mixed stream never round-trips HBM (mirrors
+    # elementwise.nco_mix_pair_tm incl. the two-level k*4096 + m ramp;
+    # inactive lanes multiply by exactly (1, 0) and pass through
+    # bit-identically)
+    if dop:
+        xt = x_ref[:, :]
+        # int32 iota (Mosaic's tpu.iota is integer-only), then to f32
+        nrow = jnp.float32(g * r) + jax.lax.broadcasted_iota(
+            jnp.int32, (r, 1), 0
+        ).astype(jnp.float32)
+        ph = jnp.zeros((r, cp), jnp.float32)
+        for srow in range(spec.dop_rows):
+            st = dop_ref[0, srow : srow + 1, :]  # (1, Cp)
+            en = dop_ref[1, srow : srow + 1, :]
+            adj = dop_ref[2, srow : srow + 1, :]
+            ph0 = dop_ref[3, srow : srow + 1, :]
+            stp = dop_ref[4, srow : srow + 1, :]  # per-4096 coarse phase step
+            active = (nrow >= st) & (nrow < en)
+            dd = nrow - st
+            kq = jnp.floor(dd * jnp.float32(1.0 / 4096.0))
+            mq = dd - kq * jnp.float32(4096.0)
+            ramp = ph0 + mq * adj + kq * stp
+            ph = ph + jnp.where(active, ramp, 0.0)
+        cph, sph = jnp.cos(ph), jnp.sin(ph)
+        i_in, q_in = xt[:, :cp], xt[:, cp:]
+        mixed = jnp.concatenate(
+            [i_in * cph - q_in * sph, i_in * sph + q_in * cph], axis=1
+        )
+        buf1[h1 : h1 + r, :] = mixed
+    else:
+        buf1[h1 : h1 + r, :] = x_ref[:, :]
     w1 = w1_ref[:, :]
     for m in range(r // LANES):
         acc = banded_tile_dot(
@@ -249,6 +283,7 @@ def fused_front_call(
     dc_hist: jnp.ndarray | None,  # (tdc-1, Cp) or None
     spec: FrontSpec,
     *,
+    dop=None,  # (starts, ends, adjs, ph0s) tables, each (spec.dop_rows, Cp)
     interpret: bool = False,
     precision=None,
 ):
@@ -256,7 +291,10 @@ def fused_front_call(
 
     Returns (y3 (B/d, Cp), (lpf1_hist', quad_prev', lpf2_hist', dc_hist')).
     Bit-identical to the stream-aligned unfused path
-    (DemodPipeline._front_batched_full with col_offset pads)."""
+    (DemodPipeline._front_batched_full with col_offset pads).  With
+    ``dop`` (and spec.dop_rows > 0) the device-Doppler NCO multiply runs
+    inside the kernel before LPF1 — no separate HBM round trip of the
+    mixed stream."""
     b, cp2 = x_tm.shape
     cp = cp2 // 2
     d = spec.d
@@ -290,6 +328,17 @@ def fused_front_call(
     if use_dc:
         w3 = jnp.asarray(_band_matrix(spec.tdc[::-1], 1, spec.k3, LANES, pad3))
         inputs.append(w3)
+    if spec.dop_rows > 0:
+        if dop is None:
+            raise ValueError("spec.dop_rows > 0 requires dop tables")
+        starts, ends, adjs, ph0s = (a.astype(jnp.float32) for a in dop)
+        # per-4096 coarse phase step, f64-derived (the two-level ramp of
+        # elementwise.nco_mix_pair_tm)
+        steps = jnp.mod(adjs.astype(jnp.float64) * 4096.0, 2 * np.pi).astype(
+            jnp.float32
+        )
+        dop_tab = jnp.stack([starts, ends, adjs, ph0s, steps], axis=0)
+        inputs.append(dop_tab)  # (5, S_rows, Cp)
 
     const = lambda shape: pl.BlockSpec(
         shape, lambda g: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -305,6 +354,14 @@ def fused_front_call(
     in_specs += [const(w1.shape), const(w2.shape)]
     if use_dc:
         in_specs.append(const(w3.shape))
+    if spec.dop_rows > 0:
+        in_specs.append(
+            pl.BlockSpec(
+                (5, spec.dop_rows, cp),
+                lambda g: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
 
     out_shapes = [
         jax.ShapeDtypeStruct((b // d, cp), jnp.float32),
