@@ -16,7 +16,6 @@ phase; the padded history is recomputed from the real tail).
 from __future__ import annotations
 
 import os
-from functools import lru_cache
 
 import numpy as np
 
