@@ -83,6 +83,12 @@ class Doppler:
         self.fd_per_sample = 0.0
         self.jul_utc = 0.0
         self.phase = 0.0  # NCO phase, float64 tracking of the f32 accumulator
+        # device_segments cadence carry: global stream position and the
+        # max_batch it was accumulated under (boundaries are multiples of
+        # max_batch from stream START, so a mid-stream cadence change
+        # would silently shift every later interpolation point)
+        self._cadence_pos = 0
+        self._cadence_batch: int | None = None
 
     def _shift(self, direction: int) -> float:
         st = self.sat.state_at(self.jul_utc)
@@ -172,12 +178,29 @@ class Doppler:
         paths, whose block = N/D is a partitioning choice, not a
         fidelity choice)."""
         if max_batch is None:
+            # keep the stream position advancing so a later cadenced call
+            # can detect (and refuse) the mid-stream mode switch below
+            self._cadence_pos += n
             return self._device_segments_one(n, direction, 0)
         # cadence boundaries are GLOBAL stream positions (multiples of
         # max_batch from stream start), carried across blocks — a block
         # size that is not a cadence multiple must not shift them, or the
         # correction would depend on the block partitioning again
-        pos = getattr(self, "_cadence_pos", 0)
+        if self._cadence_batch is None:
+            if self._cadence_pos:
+                raise ValueError(
+                    "device_segments(max_batch=...) after an uncadenced run: "
+                    "the interpolation boundaries would shift mid-stream; "
+                    "use one cadence mode per Doppler instance"
+                )
+            self._cadence_batch = int(max_batch)
+        elif self._cadence_batch != int(max_batch):
+            raise ValueError(
+                f"device_segments max_batch changed mid-stream "
+                f"({self._cadence_batch} -> {max_batch}); the carried cadence "
+                "position is only valid for the cadence it was built with"
+            )
+        pos = self._cadence_pos
         rows = []
         off = 0
         while off < n:

@@ -491,9 +491,17 @@ class DemodPipeline:
         mode with an in-kernel equivalent (Mosaic has neither gathers
         nor an atan primitive — kernel_atan_mode maps what it can)."""
         from sdrmodem_tpu.dsp.elementwise import kernel_atan_mode
+        from sdrmodem_tpu.ops.pallas_fir import TILE_R, _tile_r
         from sdrmodem_tpu.ops.pallas_front import choose_tile
 
         if self.exact:
+            return False
+        # the fused kernel's banded_tile_dot accumulates in fixed 128-row
+        # groups; a non-default SDRM_FIR_TILE_R would let the banded
+        # fallback (auto-selected for tiny/odd blocks) diverge from the
+        # fused path within one deployment, so force the banded path for
+        # everything when the tile knob is set
+        if _tile_r() != TILE_R:
             return False
         if kernel_atan_mode(self.use_atan_lut) is None:
             return False

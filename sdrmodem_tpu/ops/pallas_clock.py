@@ -61,7 +61,12 @@ POLY_DEG = 7
 import os as _os
 
 UNROLL = int(_os.environ.get("SDRM_CLOCK_UNROLL", "8"))
-assert UNROLL % 8 == 0 and UNROLL > 0
+if UNROLL <= 0 or UNROLL % 8 != 0:
+    # a non-multiple-of-8 unroll mis-sizes k_pad (sublane misalignment) —
+    # raise explicitly so `python -O` can't strip the check
+    raise ValueError(
+        f"SDRM_CLOCK_UNROLL={UNROLL}: must be a positive multiple of 8"
+    )
 SUB = 128  # fast-branch subtile rows
 SUFFIX = 64  # carried input tail rows (must equal clock_recovery.SUFFIX)
 def _shift_max() -> int:
