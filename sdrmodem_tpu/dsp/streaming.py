@@ -30,6 +30,15 @@ class StreamingGfskMod:
 
     # jit-shape granule for ragged TxData payloads (bits)
     PAD_BITS = 2048
+    # max bytes per fused-kernel dispatch: the folded kernel runs the
+    # whole payload as ONE grid step entirely in VMEM (r = bits/128 rows
+    # x 2*interp output planes), so a coalesced multi-message payload
+    # must be split to stay inside the 16 MB budget.  32 KiB = the wire
+    # protocol's own max message (reference src/api_utils.c:8); state
+    # carries across sub-dispatches, so any chunking of the stream is
+    # equivalent up to f32 phase-prefix rounding (~1e-5 rad, far inside
+    # the reference's 0.01 complex golden tolerance).
+    MAX_DISPATCH_BYTES = 32768
 
     def __init__(self, config: GfskModConfig, backend: str | None = None):
         self.mod = GfskModulator(config)
@@ -77,6 +86,15 @@ class StreamingGfskMod:
             return np.zeros(0, np.complex64)
         if self.backend != "fused":
             return self._process_xla(data)
+        if len(data) > self.MAX_DISPATCH_BYTES:
+            # coalesced / file-path payload: sub-dispatch loop with carried
+            # state (same samples as any other chunking of the stream)
+            return np.concatenate(
+                [
+                    self.process(data[s : s + self.MAX_DISPATCH_BYTES])
+                    for s in range(0, len(data), self.MAX_DISPATCH_BYTES)
+                ]
+            )
         nrz = np.unpackbits(data).astype(np.float32) * 2.0 - 1.0
         nbits = len(nrz)
         padded_bits = -(-nbits // self.PAD_BITS) * self.PAD_BITS

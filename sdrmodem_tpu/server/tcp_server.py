@@ -22,6 +22,10 @@ from sdrmodem_tpu.server.session import RxKey, RxSession, SdrStream, TxSession
 log = logging.getLogger("sdrmodem.server")
 
 
+class _TxDone(Exception):
+    """Control-flow sentinel: orderly end of a TX session's message loop."""
+
+
 def validate_rx_request(req: wire.RxRequest, config: ServerConfig) -> bool:
     """src/tcp_server.c:123-169, same order of checks."""
     if req.demod_type != wire.ModemType.GMSK:
@@ -80,6 +84,9 @@ class SdrModemServer:
         self.rx_initialized = False  # single pluto RX enforcement
         self._server: asyncio.Server | None = None
         self._lock = asyncio.Lock()
+        # observability: TX dispatch-coalescing effectiveness
+        self.tx_bursts = 0
+        self.tx_msgs_coalesced = 0
 
     # ------------------------------------------------------------------
     async def start(self):
@@ -352,35 +359,104 @@ class SdrModemServer:
             client_id, req.tx_center_freq, req.tx_offset, req.tx_sampling_freq,
             req.mod_baud_rate,
         )
+        # TX control loop with DISPATCH COALESCING: a pump task reads
+        # messages into a queue; when several TX_DATA messages are already
+        # queued (pipelining clients), their payloads are concatenated and
+        # modulated as ONE stream — the carried modulator state makes the
+        # samples identical to per-message processing, but the per-dispatch
+        # device floor (2-6 ms on the tunnel backend) is paid once per
+        # burst instead of once per message.  Each message still gets its
+        # own ordered RESPONSE (reference src/tcp_server.c:236-239).
+        queue: asyncio.Queue = asyncio.Queue()
+        pump = asyncio.create_task(self._tx_pump(reader, queue))
         try:
             while True:
-                try:
-                    version, msg_type, payload = await self._read_message(reader)
-                except asyncio.TimeoutError:
-                    continue
-                if msg_type == wire.MsgType.SHUTDOWN:
-                    log.info("[%d] client requested disconnect", client_id)
-                    break
-                if msg_type == wire.MsgType.TX_DATA:
+                kind, item = await queue.get()
+                while True:
+                    if kind == "eof":
+                        log.info("[%d] client disconnected", client_id)
+                        raise _TxDone
+                    if kind == "err":
+                        raise item
+                    version, msg_type, payload = item
+                    if msg_type == wire.MsgType.SHUTDOWN:
+                        log.info("[%d] client requested disconnect", client_id)
+                        raise _TxDone
+                    if msg_type != wire.MsgType.TX_DATA:
+                        log.error("[%d] unsupported request: %d", client_id, msg_type)
+                        break
                     try:
-                        data = wire.TxData.decode(payload).data
+                        burst = [wire.TxData.decode(payload).data]
                     except wire.WireError:
                         await self._respond_safe(writer, wire.ResponseStatus.FAILURE, wire.ResponseDetails.INVALID_REQUEST)
-                        continue
-                    code = await session.handle_tx_data(data)
-                    if code == 0:
-                        log.info("[%d] successfully sent %d bytes", client_id, len(data))
-                        await self._respond(writer, wire.ResponseStatus.SUCCESS, 0)
-                    else:
-                        await self._respond_safe(writer, wire.ResponseStatus.FAILURE, code)
-                else:
-                    log.error("[%d] unsupported request: %d", client_id, msg_type)
+                        break
+                    # drain consecutive already-buffered TX_DATA into the burst
+                    leftover = None
+                    total = len(burst[0])
+                    while (
+                        leftover is None
+                        and total < self.TX_COALESCE_BYTES
+                        and len(burst) < self.TX_COALESCE_MSGS
+                        and not queue.empty()
+                    ):
+                        kind2, item2 = queue.get_nowait()
+                        if kind2 == "msg" and item2[1] == wire.MsgType.TX_DATA:
+                            try:
+                                d2 = wire.TxData.decode(item2[2]).data
+                            except wire.WireError:
+                                leftover = ("badtx", None)
+                            else:
+                                burst.append(d2)
+                                total += len(d2)
+                        else:
+                            leftover = (kind2, item2)
+                    self.tx_bursts += 1
+                    self.tx_msgs_coalesced += len(burst)
+                    code = await session.handle_tx_data(b"".join(burst))
+                    for d in burst:
+                        if code == 0:
+                            log.info("[%d] successfully sent %d bytes", client_id, len(d))
+                            await self._respond(writer, wire.ResponseStatus.SUCCESS, 0)
+                        else:
+                            await self._respond_safe(writer, wire.ResponseStatus.FAILURE, code)
+                    if leftover is None:
+                        break
+                    if leftover[0] == "badtx":
+                        await self._respond_safe(writer, wire.ResponseStatus.FAILURE, wire.ResponseDetails.INVALID_REQUEST)
+                        break
+                    kind, item = leftover  # control message deferred past the burst
+        except _TxDone:
+            pass
         except (asyncio.IncompleteReadError, ConnectionError):
             log.info("[%d] client disconnected", client_id)
         finally:
+            pump.cancel()
             await session.close()
             self.tx_initialized = False
             writer.close()
+
+    # burst bounds: latency/memory caps for the coalesced TX path (the
+    # modulator sub-dispatches at 32 KiB anyway, so bigger bursts only
+    # amortize host-side work)
+    TX_COALESCE_BYTES = 512 * 1024
+    TX_COALESCE_MSGS = 128
+
+    async def _tx_pump(self, reader, queue: asyncio.Queue):
+        """Read client messages into ``queue`` (("msg", (v, type, payload))
+        rows, then one ("eof"/"err", exc) terminal row)."""
+        try:
+            while True:
+                try:
+                    msg = await self._read_message(reader)
+                except asyncio.TimeoutError:
+                    continue  # read timeout is a normal control-loop event
+                await queue.put(("msg", msg))
+        except (asyncio.IncompleteReadError, ConnectionError):
+            await queue.put(("eof", None))
+        except asyncio.CancelledError:
+            raise
+        except Exception as e:  # e.g. wire.WireError: oversize header
+            await queue.put(("err", e))
 
 
 def ensure_jax_backend():

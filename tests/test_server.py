@@ -248,6 +248,70 @@ def test_file_tx_then_rx_loopback(tmp_path):
     run(body())
 
 
+def test_tx_pipelined_coalescing_matches_sequential(tmp_path):
+    """A pipelining client (several TX_DATA frames in flight before reading
+    ACKs) gets every ACK in order, the modulated stream matches
+    one-message-at-a-time processing within float tolerance, and the server
+    actually coalesced the burst into fewer device dispatches.  The carried
+    modulator state makes any chunking of the stream equivalent up to f32
+    phase-prefix rounding (~1e-5 rad; the reference's own complex golden
+    tolerance is 0.01, test/utils.c:134-140); the reference processes
+    per-message synchronously (src/tcp_server.c:176-241)."""
+    rng = np.random.default_rng(7)
+    payloads = [rng.integers(0, 256, 512, dtype=np.uint8).tobytes() for _ in range(6)]
+
+    async def run_tx(fname, pipelined):
+        config = make_config(tmp_path, tx_sdr_type=TxSdrType.FILE)
+        server = SdrModemServer(config)
+        await server.start()
+        tx = await ModemClient.connect("127.0.0.1", server.port)
+        resp = await tx.tx_request(
+            wire.TxRequest(
+                tx_center_freq=437525000,
+                tx_sampling_freq=48000,
+                tx_offset=0,
+                mod_type=wire.ModemType.GMSK,
+                mod_baud_rate=9600,
+                fsk_settings=wire.FskModulationSettings(mod_fsk_deviation=5000),
+                file_settings=wire.FileSettings(filename=str(fname)),
+            )
+        )
+        assert resp.status == wire.ResponseStatus.SUCCESS
+        if pipelined:
+            for p in payloads:
+                await tx._send(wire.MsgType.TX_DATA, wire.TxData(data=p).encode())
+            for _ in payloads:
+                ack = await tx.read_response()
+                assert ack.status == wire.ResponseStatus.SUCCESS
+        else:
+            for p in payloads:
+                ack = await tx.tx_data(p)
+                assert ack.status == wire.ResponseStatus.SUCCESS
+        await tx.shutdown()
+        await asyncio.sleep(0.2)
+        tx.close()
+        await server.stop()
+        return server
+
+    async def body():
+        seq_file = tmp_path / "seq.cf32"
+        pipe_file = tmp_path / "pipe.cf32"
+        server_seq = await run_tx(seq_file, pipelined=False)
+        assert server_seq.tx_msgs_coalesced == len(payloads)
+        server_pipe = await run_tx(pipe_file, pipelined=True)
+        assert server_pipe.tx_msgs_coalesced == len(payloads)
+        # the pipelined burst must actually coalesce into fewer dispatches
+        assert server_pipe.tx_bursts < len(payloads)
+        seq = np.frombuffer(seq_file.read_bytes(), np.complex64)
+        pipe = np.frombuffer(pipe_file.read_bytes(), np.complex64)
+        assert len(seq) == len(pipe) == sum(len(p) for p in payloads) * 8 * 5
+        # f32 phase-prefix rounding accumulates along the stream
+        # (~2e-4 here); the reference's complex golden tolerance is 0.01
+        assert np.abs(seq - pipe).max() < 0.01
+
+    run(body())
+
+
 def test_tx_busy(tmp_path):
     async def body():
         config = make_config(tmp_path, tx_sdr_type=TxSdrType.FILE)
