@@ -86,6 +86,10 @@ class ServerConfig:
     rx_plutosdr_gain: float = 0.0
     tx_plutosdr_gain: float = 0.0
     tx_plutosdr_timeout_millis: int = 10000
+    # libiio binding seam: None = load the real library on first use.
+    # The reference loads it at config time and its tests swap in a mock
+    # (src/server_config.c:176-183, test/iio_lib_mock.c) — same seam here.
+    iio_lib: object | None = None
     # TPU-native extensions (absent from the reference; defaults keep parity)
     bench_channels: int = 64
     # demod_mode: "exact" runs one deterministic f64-accumulated pipeline

@@ -220,6 +220,7 @@ class SdrModemServer:
                     timeout_millis=cfg.tx_plutosdr_timeout_millis,
                     buffer_size=cfg.buffer_size,
                     power_down_tx=not self.tx_initialized,
+                    lib=cfg.iio_lib,
                 )
             except PlutoSdrError as e:
                 log.error("[%d] unable to init pluto rx: %s", client_id, e)
@@ -319,6 +320,7 @@ class SdrModemServer:
                     gain=cfg.tx_plutosdr_gain,
                     timeout_millis=cfg.tx_plutosdr_timeout_millis,
                     buffer_size=cfg.buffer_size,
+                    lib=cfg.iio_lib,
                 )
             except PlutoSdrError as e:
                 log.error("[%d] unable to init pluto tx: %s", client_id, e)

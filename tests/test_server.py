@@ -248,6 +248,137 @@ def test_file_tx_then_rx_loopback(tmp_path):
     run(body())
 
 
+def test_plutosdr_tx_e2e_golden(tmp_path):
+    """TX session through the real server into the mocked iio device:
+    the captured int16 DAC samples and the tx dump file must match the
+    reference's goldens (test_tcp_server.c:198-239 — first 50 DAC values
+    alternate 32767, 0 and the dump is 1.0 - 0.0j, because the Gaussian
+    FIR warmup keeps the VCO phase at ~0 for the first bit period)."""
+    from tests.test_plutosdr import MockIioLib
+
+    async def body():
+        lib = MockIioLib()
+        config = make_config(tmp_path, tx_sdr_type=TxSdrType.PLUTOSDR, iio_lib=lib)
+        server = SdrModemServer(config)
+        await server.start()
+        tx = await ModemClient.connect("127.0.0.1", server.port)
+        resp = await tx.tx_request(
+            wire.TxRequest(
+                tx_center_freq=437525000,
+                tx_sampling_freq=580000,
+                tx_dump_file=True,
+                tx_offset=0,
+                mod_type=wire.ModemType.GMSK,
+                mod_baud_rate=4800,
+                fsk_settings=wire.FskModulationSettings(mod_fsk_deviation=5000),
+            )
+        )
+        assert resp.status == wire.ResponseStatus.SUCCESS
+        ack = await tx.tx_data(bytes(range(50)))
+        assert ack.status == wire.ResponseStatus.SUCCESS
+        await tx.shutdown()
+        await asyncio.sleep(0.2)
+        tx.close()
+        await server.stop()
+
+        # DAC capture: reference golden = {32767, 0} x 25
+        pushed = np.frombuffer(b"".join(lib.tx_pushed), np.int16)
+        assert len(pushed) == 50 * 8 * 120 * 2  # 50 bytes * 8 bits * sps, I+Q
+        expected = np.zeros(50, np.int16)
+        expected[0::2] = 32767
+        np.testing.assert_array_equal(pushed[:50], expected)
+
+        # dump file: reference golden = 1.0 - 0.0j within 0.001
+        dumps = list(tmp_path.glob("tx.mod2sdr.*.cf32"))
+        assert len(dumps) == 1
+        dump = np.frombuffer(dumps[0].read_bytes(), np.complex64)
+        assert len(dump) == 50 * 8 * 120
+        np.testing.assert_allclose(dump[:50].real, 1.0, atol=1e-3)
+        np.testing.assert_allclose(dump[:50].imag, 0.0, atol=1e-3)
+
+    run(body())
+
+
+def test_plutosdr_rx_e2e(tmp_path):
+    """RX session over the mocked pluto: a GMSK capture served through the
+    iio seam (int16, 12-bit scale 2048) demodulates back to the
+    transmitted bits; a second concurrent client hits the single-pluto-RX
+    enforcement (RX_IS_BEING_USED), and a later client succeeds again
+    after teardown (reference src/tcp_server.c:425-430)."""
+    from sdrmodem_tpu.dsp.gfsk_mod import GfskModConfig
+    from sdrmodem_tpu.dsp.streaming import StreamingGfskMod
+
+    from tests.test_plutosdr import MockIioLib
+
+    # Fs must satisfy the AD9361's minimum rate (520834 with the DEC4 FIR,
+    # reference src/sdr/plutosdr.c:310-407)
+    payload = bytes(b"\xca\xfe\x01\x02\x03\x04\x05\x06\x07\x08" * 10)
+    mod = StreamingGfskMod(GfskModConfig.from_radio(576000, 9600, 5000))
+    iq = mod.process(payload)
+    raw = np.empty(2 * len(iq), np.int16)
+    raw[0::2] = np.round(iq.real * 2048.0).astype(np.int16)
+    raw[1::2] = np.round(iq.imag * 2048.0).astype(np.int16)
+
+    def request():
+        return rx_request(
+            rx_sampling_freq=576000,
+            demod_baud_rate=9600,
+            demod_decimation=6,
+            fsk_settings=wire.FskDemodulationSettings(
+                demod_fsk_deviation=5000,
+                demod_fsk_transition_width=2000,
+                demod_fsk_use_dc_block=False,
+            ),
+        )
+
+    async def body():
+        lib = MockIioLib(rx_data=raw)
+        config = make_config(tmp_path, rx_sdr_type=RxSdrType.PLUTOSDR, iio_lib=lib)
+        server = SdrModemServer(config)
+        await server.start()
+
+        rx = await ModemClient.connect("127.0.0.1", server.port)
+        resp = await rx.rx_request(request())
+        assert resp.status == wire.ResponseStatus.SUCCESS
+
+        # single-pluto-RX enforcement while the first session is live
+        rx2 = await ModemClient.connect("127.0.0.1", server.port)
+        resp2 = await rx2.rx_request(request())
+        assert resp2.status == wire.ResponseStatus.FAILURE
+        assert resp2.details == wire.ResponseDetails.RX_IS_BEING_USED
+        rx2.close()
+
+        n_bits = len(payload) * 8
+        data = await rx.read_stream(n_bits - 32)
+        soft = np.frombuffer(data, dtype=np.int8)
+        bits_tx = np.unpackbits(np.frombuffer(payload, np.uint8)).astype(np.int8) * 2 - 1
+        hard = np.sign(soft).astype(np.int8)
+        best = 0.0
+        for off in range(0, 64):
+            n = min(len(hard) - off, len(bits_tx))
+            best = max(best, float((hard[off : off + n] == bits_tx[:n]).mean()))
+        assert best > 0.995, f"pluto rx BER {1-best:.4f}"
+        # TX LO was powered down for RX sensitivity (plutosdr.c:251-258)
+        assert any(
+            "powerdown" in str(k) and v for k, v in lib.attrs.items()
+        )
+        await rx.shutdown()
+        await asyncio.sleep(0.3)
+        rx.close()
+
+        # after teardown the pluto RX slot frees up
+        lib2 = MockIioLib(rx_data=raw)
+        server.config.iio_lib = lib2
+        rx3 = await ModemClient.connect("127.0.0.1", server.port)
+        resp3 = await rx3.rx_request(request())
+        assert resp3.status == wire.ResponseStatus.SUCCESS
+        await rx3.shutdown()
+        rx3.close()
+        await server.stop()
+
+    run(body())
+
+
 def test_tx_pipelined_coalescing_matches_sequential(tmp_path):
     """A pipelining client (several TX_DATA frames in flight before reading
     ACKs) gets every ACK in order, the modulated stream matches
