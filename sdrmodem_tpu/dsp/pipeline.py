@@ -486,6 +486,65 @@ class DemodPipeline:
             dop_rows=dop_rows,
         )
 
+    def fused_step_available(self, channels_padded: int) -> bool:
+        """The fully-fused front+clock kernel (ops/pallas_step.py): needs
+        the fused front's conditions plus whole clock chunks and exactly
+        one 128-lane vreg of channels."""
+        from sdrmodem_tpu.ops.pallas_step import fused_step_available
+
+        return self.fused_front_available() and fused_step_available(
+            self.block, self.config.decimation, channels_padded
+        )
+
+    def _step_fused_impl(self, state: DemodStateFull, x_tm, dop, *, interpret):
+        """One block through the fused front+clock kernel.  Bit-identical
+        symbols to _front_fused_full + clock_mm_batched_full."""
+        from sdrmodem_tpu.dsp.clock_recovery import ClockFullState, max_symbols
+        from sdrmodem_tpu.ops.pallas_step import fused_step_call, step_chunk
+
+        p = self._clockp
+        ck = state.clock
+        sfx = ck.suffix.shape[0]
+        chunk = step_chunk()
+        num_symbols = max_symbols(
+            chunk + sfx,
+            float(np.float32(p["omega"])),
+            p["omega_relative_limit"],
+            p["gain_mu"],
+        )
+        sym, counts, ovf, front, clock = fused_step_call(
+            x_tm,
+            state.lpf1_hist,
+            state.quad_prev,
+            state.lpf2_hist,
+            state.dc_hist,
+            ck.suffix,
+            ck.omega,
+            ck.mu,
+            ck.last_sample,
+            ck.resid,
+            self._front_spec(dop_rows=dop[0].shape[0] if dop is not None else 0),
+            omega_mid=float(np.float32(p["omega"])),
+            omega_relative_limit=p["omega_relative_limit"],
+            gain_omega=p["gain_omega"],
+            gain_mu=p["gain_mu"],
+            num_symbols=num_symbols,
+            dop=dop,
+            interpret=interpret,
+        )
+        new_clock = ClockFullState(
+            clock["omega"],
+            clock["mu"],
+            clock["last"],
+            clock["suffix"],
+            clock["resid"],
+            ck.overflow + jnp.sum(ovf, axis=0),
+        )
+        new_state = DemodStateFull(*front, new_clock)
+        # (n_chunks, K, C) -> (C, n_chunks, K) like clock_mm_batched_full
+        outs = jnp.transpose(sym, (2, 0, 1))
+        return new_state, outs, jnp.transpose(counts, (1, 0)).astype(jnp.int32)
+
     def fused_front_available(self) -> bool:
         """The fused kernel needs a legal time tile and an arctangent
         mode with an in-kernel equivalent (Mosaic has neither gathers
@@ -542,11 +601,11 @@ class DemodPipeline:
         if front is None:
             import os
 
-            front = os.environ.get("SDRM_FRONT", "fused")
-        if front not in ("fused", "banded"):
+            front = os.environ.get("SDRM_FRONT", "step")
+        if front not in ("step", "fused", "banded"):
             raise ValueError(f"unknown front {front!r}")
-        if front == "fused" and not self.fused_front_available():
-            front = "banded"  # tiny/odd blocks or gather-LUT atan: fall back
+        if front == "step" and clock_backend != "pallas":
+            front = "fused"  # the fused step IS the pallas clock
         p = self._clockp
         import jax as _jax
 
@@ -574,7 +633,15 @@ class DemodPipeline:
             else:  # "tm"
                 c = cp
                 x_tm = x
-            if front == "fused":
+            if front == "step" and self.fused_step_available(cp):
+                new_state, outs, counts = self._step_fused_impl(
+                    state, x_tm, dop, interpret=interpret
+                )
+                return new_state, float_to_int8(outs[:c]), counts[:c]
+            use_front = "fused" if front == "step" else front
+            if use_front == "fused" and not self.fused_front_available():
+                use_front = "banded"
+            if use_front == "fused":
                 # the Doppler NCO mix fuses INTO the front kernel (no
                 # separate HBM round trip of the mixed stream)
                 fstate, y3 = self._front_fused_full(
