@@ -106,6 +106,7 @@ class ShardedChannelDemodFull:
         *,
         clock_backend: str = "pallas",
         interpret: bool = False,
+        use_atan_lut="free",  # production server default (session.py:342)
     ):
         n_shards = mesh.shape[axis]
         if channels % n_shards != 0:
@@ -113,7 +114,9 @@ class ShardedChannelDemodFull:
         self.local = channels // n_shards
         if self.local % 128 != 0 and channels > 128:
             raise ValueError("per-shard channel count should be a lane multiple")
-        self.pipe = DemodPipeline(config, block_size, exact=False)
+        self.pipe = DemodPipeline(
+            config, block_size, exact=False, use_atan_lut=use_atan_lut
+        )
         self.channels = channels
         self.mesh = mesh
         self.axis = axis

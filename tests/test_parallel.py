@@ -104,8 +104,50 @@ def test_channel_sharded_full_path(resources_dir):
     for c in range(1, channels):
         np.testing.assert_array_equal(collect(symbols, counts, c), lane0)
 
-    pipe = DemodPipeline(CFG, 8192, exact=False)
+    pipe = DemodPipeline(CFG, 8192, exact=False, use_atan_lut="free")
     step = pipe.make_batched_step_full("scan")
+    st = pipe.init_full_state(1)
+    x = np.stack([iq.real, iq.imag])[None].astype(np.float32)
+    st, ref_sym, ref_cnt = step(st, jnp.asarray(x))
+    ref = collect(np.asarray(ref_sym), np.asarray(ref_cnt), 0)
+    np.testing.assert_array_equal(lane0, ref)
+
+
+def test_channel_sharded_production_kernels(resources_dir, monkeypatch):
+    """The EXACT production kernel stack — the fused front+clock step
+    (pallas clock backend) — under shard_map, interpret mode on the CPU
+    mesh: symbol-exact vs the same kernels unsharded (the reference's
+    integration tests run the code paths production runs,
+    test_tcp_server.c:482-563)."""
+    from sdrmodem_tpu.dsp.pipeline import DemodPipeline
+    from sdrmodem_tpu.parallel.channels import ShardedChannelDemodFull
+
+    monkeypatch.setenv("SDRM_STEP_CHUNK", "256")
+    iq = np.fromfile(resources_dir / "lucky7.expected.cf32", dtype=np.complex64)[:2048]
+    channels = 16
+    mesh = _mesh("channel")
+    sharded = ShardedChannelDemodFull(
+        CFG, 2048, channels, mesh, clock_backend="pallas"
+    )
+
+    def collect(symbols, counts, lane):
+        return np.concatenate(
+            [symbols[lane, t, : counts[lane, t]] for t in range(counts.shape[1])]
+        )
+
+    state = sharded.init_state()
+    batch = np.tile(iq, (channels, 1))
+    state, symbols, counts = sharded.step(state, sharded.place_input(batch))
+    counts = np.asarray(counts)
+    symbols = np.asarray(symbols)
+    assert (counts == counts[0:1]).all() and counts.sum() > 0
+    lane0 = collect(symbols, counts, 0)
+    for c in range(1, channels):
+        np.testing.assert_array_equal(collect(symbols, counts, c), lane0)
+
+    pipe = DemodPipeline(CFG, 2048, exact=False, use_atan_lut="free")
+    assert pipe.fused_step_available(128)
+    step = pipe.make_batched_step_full("pallas", front="step")
     st = pipe.init_full_state(1)
     x = np.stack([iq.real, iq.imag])[None].astype(np.float32)
     st, ref_sym, ref_cnt = step(st, jnp.asarray(x))
