@@ -39,17 +39,25 @@ class FileSource(SdrDevice):
         self._tx = open(tx_filename, "wb") if tx_filename else None
         self._stopped = asyncio.Event()
 
-    async def read_stream(self) -> np.ndarray | None:
+    def read_stream_sync(self) -> np.ndarray | None:
+        """Blocking block read (no EOF hold) — the producer-thread entry
+        used by the native read-ahead ring (devices/native_ingest.py)."""
         if self._rx is None:
             raise RuntimeError("rx file was not initialized")
-        data = await asyncio.to_thread(self._rx.read, self.block * 8)
+        data = self._rx.read(self.block * 8)
         if len(data) == 0:
-            # EOF: hold the session open until the client disconnects
-            await self._stopped.wait()
             return None
         iq = np.frombuffer(data, dtype=np.complex64)
         if self.nco is not None:
             iq = self.nco.mix(self.freq_offset, iq)
+        return iq
+
+    async def read_stream(self) -> np.ndarray | None:
+        iq = await asyncio.to_thread(self.read_stream_sync)
+        if iq is None:
+            # EOF: hold the session open until the client disconnects
+            await self._stopped.wait()
+            return None
         return iq
 
     async def write_stream(self, iq: np.ndarray) -> None:

@@ -205,6 +205,11 @@ class SdrModemServer:
             except OSError as e:
                 log.error("[%d] unable to init file source: %s", client_id, e)
                 return wire.ResponseDetails.INTERNAL_ERROR
+            # native SPSC read-ahead (reference's sdr_worker thread +
+            # queue.c decoupling) when the native library is built
+            from sdrmodem_tpu.devices.native_ingest import maybe_wrap
+
+            device = maybe_wrap(device, cfg.buffer_size, cfg.queue_size)
             log.info("[%d] demod file input at: %s", client_id, req.file_settings.filename)
         elif cfg.rx_sdr_type == RxSdrType.PLUTOSDR:
             if self.rx_initialized:

@@ -92,3 +92,174 @@ def test_native_queue_threaded_producer_consumer():
     assert len(results) == n
     for got, want in zip(results, payloads):
         np.testing.assert_array_equal(np.frombuffer(got, np.uint8), want)
+
+
+class _FakeDevice:
+    """Scripted device for the read-ahead wrapper tests."""
+
+    def __init__(self, blocks, lossless):
+        self.blocks = list(blocks)
+        self.lossless_rx = lossless
+        self.closed = False
+        self.read_gate = threading.Event()
+        self.read_gate.set()
+
+    def read_stream_sync(self):
+        self.read_gate.wait()
+        if not self.blocks:
+            return None
+        return self.blocks.pop(0)
+
+    async def write_stream(self, iq):
+        raise NotImplementedError
+
+    async def stop_rx(self):
+        pass
+
+    async def close(self):
+        self.closed = True
+
+
+@needs_native
+def test_native_readahead_blocking_no_drops():
+    """Blocking mode (file sources): a slow consumer back-pressures the
+    producer thread; every block arrives, in order, no drops
+    (reference src/dsp_worker.c:176-179 + src/queue.c blocking put)."""
+    import asyncio
+
+    from sdrmodem_tpu.devices.native_ingest import NativeReadAhead
+
+    n, blk = 32, 256
+    blocks = [
+        np.full(blk, i + 1j * i, np.complex64) for i in range(n)
+    ]
+
+    async def body():
+        dev = _FakeDevice(blocks, lossless=True)
+        wrap = NativeReadAhead(dev, blk, capacity=3)
+        got = []
+        while True:
+            buf = await wrap.read_stream()
+            await asyncio.sleep(0.002)  # slow consumer
+            if buf is None:
+                break
+            got.append(buf)
+        assert wrap.dropped == 0
+        assert len(got) == n
+        for i, b in enumerate(got):
+            np.testing.assert_array_equal(b, np.full(blk, i + 1j * i, np.complex64))
+        await wrap.close()
+        assert dev.closed
+
+    async def with_stop():
+        # EOF must hold until stop_rx (file_source.c:109-117): run body
+        # with a watchdog that releases the EOF hold
+        task = asyncio.ensure_future(body())
+        await task
+
+    # the EOF hold blocks read_stream until stop_rx; emulate the server's
+    # teardown by stopping after the drain
+    async def run():
+        dev = _FakeDevice(blocks, lossless=True)
+        wrap = NativeReadAhead(dev, blk, capacity=3)
+        got = []
+        for _ in range(n):
+            buf = await wrap.read_stream()
+            await asyncio.sleep(0.001)
+            assert buf is not None
+            got.append(buf)
+        # next read would hit the EOF hold: release it like a disconnect
+        hold = asyncio.ensure_future(wrap.read_stream())
+        await asyncio.sleep(0.05)
+        assert not hold.done(), "EOF must hold the session open"
+        await wrap.stop_rx()
+        assert await hold is None
+        assert wrap.dropped == 0
+        assert len(got) == n
+        for i, b in enumerate(got):
+            np.testing.assert_array_equal(b, np.full(blk, i + 1j * i, np.complex64))
+        await wrap.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+@needs_native
+def test_native_readahead_lossy_drops_and_counts():
+    """Lossy mode (live SDRs): a stalled consumer drops newest blocks
+    with a surfaced counter instead of back-pressuring the radio
+    (reference src/queue.c:124-128)."""
+    import asyncio
+
+    from sdrmodem_tpu.devices.native_ingest import NativeReadAhead
+
+    n, blk = 64, 256
+    blocks = [np.full(blk, i, np.complex64) for i in range(n)]
+
+    async def run():
+        dev = _FakeDevice(blocks, lossless=False)
+        wrap = NativeReadAhead(dev, blk, capacity=4)
+        # let the producer run far ahead of any consumption
+        for _ in range(200):
+            if wrap.dropped > 0 and not dev.blocks:
+                break
+            await asyncio.sleep(0.01)
+        assert wrap.dropped > 0
+        got = []
+        while True:
+            buf = await wrap.read_stream()
+            if buf is None:
+                break
+            got.append(int(buf[0].real))
+        # at most capacity survive, in order, ending with the newest write
+        assert 0 < len(got) <= 4
+        assert got == sorted(got)
+        assert got[-1] == n - 1
+        await wrap.stop_rx()
+        await wrap.close()
+
+    asyncio.run(asyncio.wait_for(run(), 30))
+
+
+@needs_native
+def test_server_file_rx_uses_native_ingest(tmp_path):
+    """End-to-end: a file RX session through the real server rides the
+    native ring (SDRM_NATIVE_INGEST default-on) and still matches the
+    golden demod output."""
+    import asyncio
+    import pathlib
+
+    from sdrmodem_tpu.server import wire
+    from sdrmodem_tpu.server.config import RxSdrType
+    from sdrmodem_tpu.server.tcp_server import SdrModemServer
+
+    from tests.server_helpers import ModemClient
+    from tests.test_server import make_config, rx_request
+
+    fixtures = pathlib.Path(__file__).resolve().parent / "fixtures"
+    src = fixtures / "lucky7.expected.cf32"
+    golden = np.fromfile(fixtures / "lucky7.expected.s8", np.int8)
+
+    async def run():
+        config = make_config(tmp_path, rx_sdr_type=RxSdrType.FILE)
+        server = SdrModemServer(config)
+        await server.start()
+        rx = await ModemClient.connect("127.0.0.1", server.port)
+        resp = await rx.rx_request(
+            rx_request(file_settings=wire.FileSettings(filename=str(src)))
+        )
+        assert resp.status == wire.ResponseStatus.SUCCESS
+        # the stream object must be the native wrapper
+        from sdrmodem_tpu.devices.native_ingest import NativeReadAhead
+
+        assert any(
+            isinstance(s.device, NativeReadAhead) for s in server.streams
+        ), "file RX did not ride the native ring"
+        data = await rx.read_stream(len(golden), timeout=60)
+        got = np.frombuffer(data, np.int8)
+        diff = np.abs(got.astype(np.int32) - golden.astype(np.int32))
+        assert diff.max() <= 2
+        await rx.shutdown()
+        rx.close()
+        await server.stop()
+
+    asyncio.run(asyncio.wait_for(run(), 120))
