@@ -73,27 +73,35 @@ def test_fused_step_dc_d2():
 def test_fused_step_no_dc():
     rng = np.random.default_rng(1)
     x = (rng.standard_normal((1024, 256)) * 0.3).astype(np.float32)
-    compare_paths(FskDemodConfig(48000, 4800, 5000, 2, 2000, False), 1024, x)
+    compare_paths(
+        FskDemodConfig(48000, 4800, 5000, 2, 2000, False), 1024, x, iters=1
+    )
 
 
 def test_fused_step_d1():
     rng = np.random.default_rng(2)
     x = (rng.standard_normal((512, 256)) * 0.3).astype(np.float32)
-    compare_paths(FskDemodConfig(192000, 40000, 5000, 1, 2000, True), 512, x)
+    compare_paths(
+        FskDemodConfig(192000, 40000, 5000, 1, 2000, True), 512, x, iters=1
+    )
 
 
 def test_fused_step_nan_policy():
     rng = np.random.default_rng(3)
     x = (rng.standard_normal((1024, 256)) * 0.3).astype(np.float32)
     x[100:140, :] = np.nan
-    compare_paths(FskDemodConfig(240000, 9600, 5000, 1, 2000, True), 1024, x)
+    compare_paths(
+        FskDemodConfig(240000, 9600, 5000, 1, 2000, True), 1024, x, iters=1
+    )
 
 
 def test_fused_step_no_interleave(monkeypatch):
     monkeypatch.setenv("SDRM_STEP_INTERLEAVE", "0")
     rng = np.random.default_rng(4)
     x = (rng.standard_normal((1024, 256)) * 0.3).astype(np.float32)
-    compare_paths(FskDemodConfig(48000, 4800, 5000, 2, 2000, True), 1024, x)
+    compare_paths(
+        FskDemodConfig(48000, 4800, 5000, 2, 2000, True), 1024, x, iters=1
+    )
 
 
 def test_fused_step_doppler():
@@ -116,7 +124,11 @@ def test_fused_step_doppler():
         return tuple(jnp.asarray(a) for a in (starts, ends, adjs, ph0s))
 
     compare_paths(
-        FskDemodConfig(48000, 4800, 5000, 2, 2000, True), 1024, x, dop_fn=dop_fn
+        FskDemodConfig(48000, 4800, 5000, 2, 2000, True),
+        1024,
+        x,
+        iters=1,
+        dop_fn=dop_fn,
     )
 
 
