@@ -601,7 +601,14 @@ class DemodPipeline:
         if front is None:
             import os
 
-            front = os.environ.get("SDRM_FRONT", "step")
+            # production default: the fused FRONT + separate clock kernel.
+            # The fully-fused "step" kernel is bit-identical and keeps y3
+            # out of HBM, but measured 2-7% SLOWER on v5e (BASELINE.md
+            # round 5: the MXU's operand streaming occupies the same issue
+            # slots as the clock's vector ops, so the hoped-for MXU/VPU
+            # overlap is only ~4% — not enough to cover the smaller clock
+            # chunk its VMEM budget forces).  Kept selectable for A/B.
+            front = os.environ.get("SDRM_FRONT", "fused")
         if front not in ("step", "fused", "banded"):
             raise ValueError(f"unknown front {front!r}")
         if front == "step" and clock_backend != "pallas":

@@ -61,14 +61,26 @@ POLY_DEG = 7
 import os as _os
 
 UNROLL = int(_os.environ.get("SDRM_CLOCK_UNROLL", "8"))
-if UNROLL <= 0 or UNROLL % 8 != 0:
-    # a non-multiple-of-8 unroll mis-sizes k_pad (sublane misalignment) —
-    # raise explicitly so `python -O` can't strip the check
+if UNROLL not in (1, 2, 4) and (UNROLL <= 0 or UNROLL % 8 != 0):
+    # k_pad must stay sublane-aligned: either UNROLL divides 8 (group
+    # count is rounded so k_pad is a multiple of 8) or it is a multiple
+    # of 8 — raise explicitly so `python -O` can't strip the check
     raise ValueError(
-        f"SDRM_CLOCK_UNROLL={UNROLL}: must be a positive multiple of 8"
+        f"SDRM_CLOCK_UNROLL={UNROLL}: must divide 8 or be a multiple of 8"
     )
+
+
+def _groups_for(num_symbols: int) -> tuple[int, int]:
+    """(num_groups, k_pad) with k_pad sublane-aligned (multiple of 8)."""
+    k_pad = -(-int(num_symbols) // UNROLL) * UNROLL
+    k_pad = -(-k_pad // 8) * 8
+    return k_pad // UNROLL, k_pad
+
+
 SUB = 128  # fast-branch subtile rows
 SUFFIX = 64  # carried input tail rows (must equal clock_recovery.SUFFIX)
+
+
 def _shift_max() -> int:
     """Largest window evaluated via hoisted shifted copies (bounded by the
     8x window VMEM cost).  SDRM_CLOCK_SHIFT_MAX=0 forces the one-hot tap
@@ -582,8 +594,7 @@ def clock_mm_chunked_tpu(
     cp = -(-ch // LANES) * LANES
     n_chunks = max(1, -(-n // chunk))
     n_pad = n_chunks * chunk
-    num_groups = -(-int(num_symbols) // UNROLL)
-    k_pad = num_groups * UNROLL
+    num_groups, k_pad = _groups_for(num_symbols)
     if tile is None:
         tile = required_tile(num_symbols, omega_mid, omega_relative_limit, sfx_rows)
     max_stride = int(np.ceil(omega_mid * 1.02)) + 2
@@ -688,8 +699,7 @@ def clock_mm_tpu(
         ch, length = y.shape
     if ch > LANES:
         raise ValueError("clock_mm_tpu handles up to 128 channels per call")
-    num_groups = -(-int(num_symbols) // UNROLL)
-    k_pad = num_groups * UNROLL
+    num_groups, k_pad = _groups_for(num_symbols)
     if tile is None:
         tile = required_tile(num_symbols, omega_mid, omega_relative_limit)
 

@@ -54,6 +54,7 @@ from sdrmodem_tpu.ops.pallas_clock import (
     POLY_DEG,
     SUB,
     UNROLL,
+    _groups_for,
     _shift_max,
     bank_poly_coeffs,
     required_tile,
@@ -545,8 +546,7 @@ def fused_step_call(
     sfx = int(suffix.shape[0])
     if sfx % 8 != 0 or chunk < sfx:
         raise ValueError("suffix must be 8-aligned and <= chunk")
-    num_groups = -(-int(num_symbols) // UNROLL)
-    k_pad = num_groups * UNROLL
+    num_groups, k_pad = _groups_for(num_symbols)
     if tile is None:
         tile = required_tile(num_symbols, omega_mid, omega_relative_limit, sfx)
     lp = -(-(sfx + chunk + _span_budget(omega_mid) + 8) // 128) * 128
