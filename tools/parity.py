@@ -125,21 +125,24 @@ def replay_fixture(cfg_args, fin: str, fexp: str, block: int):
     return _report(got, golden)
 
 
-def replay_fixture_exact(cfg_args, fin: str, fexp: str):
+def replay_fixture_exact(cfg_args, fin: str, fexp: str, block: int = 16384):
     """The deterministic-parity mode on whatever device JAX runs on: the
-    whole-stream demodulator with float64-accumulated FIR dot products and
-    the gather-LUT arctangent (``FskDemodulator(exact=True)``) — the
+    ragged pipeline with float64-accumulated FIR dot products and the
+    gather-LUT arctangent (``DemodPipeline(exact=True)``) — the
     machine-independence analog of the reference pinning VOLK_GENERIC for
-    its golden runs (/root/reference/test/resources/run_tests.sh:8-10)."""
-    import jax.numpy as jnp
-
-    from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig, FskDemodulator
+    its golden runs (/root/reference/test/resources/run_tests.sh:8-10).
+    IQ rides as float32 pairs (the TPU backend lowers no complex dtype);
+    f64 arithmetic is supported on-device."""
+    from sdrmodem_tpu.dsp.fsk_demod import FskDemodConfig
+    from sdrmodem_tpu.dsp.pipeline import DemodPipeline
 
     cfg = FskDemodConfig(*cfg_args)
     iq = np.fromfile(RESOURCES / fin, dtype=np.complex64)
     golden = np.fromfile(RESOURCES / fexp, dtype=np.int8)
-    out, count, _ = FskDemodulator(cfg, exact=True).process(jnp.asarray(iq))
-    got = np.asarray(out)[: int(count)]
+    d = cfg.decimation
+    blk = -(-block // d) * d
+    pipe = DemodPipeline(cfg, blk, exact=True, use_atan_lut=True)
+    got = pipe.streamer().process(iq)
     return _report(got, golden)
 
 
