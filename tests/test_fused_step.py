@@ -72,9 +72,9 @@ def test_fused_step_dc_d2():
 
 def test_fused_step_no_dc():
     rng = np.random.default_rng(1)
-    x = (rng.standard_normal((1024, 256)) * 0.3).astype(np.float32)
+    x = (rng.standard_normal((512, 256)) * 0.3).astype(np.float32)
     compare_paths(
-        FskDemodConfig(48000, 4800, 5000, 2, 2000, False), 1024, x, iters=1
+        FskDemodConfig(48000, 4800, 5000, 2, 2000, False), 512, x, iters=1
     )
 
 
@@ -88,19 +88,19 @@ def test_fused_step_d1():
 
 def test_fused_step_nan_policy():
     rng = np.random.default_rng(3)
-    x = (rng.standard_normal((1024, 256)) * 0.3).astype(np.float32)
+    x = (rng.standard_normal((512, 256)) * 0.3).astype(np.float32)
     x[100:140, :] = np.nan
     compare_paths(
-        FskDemodConfig(240000, 9600, 5000, 1, 2000, True), 1024, x, iters=1
+        FskDemodConfig(240000, 9600, 5000, 1, 2000, True), 512, x, iters=1
     )
 
 
 def test_fused_step_no_interleave(monkeypatch):
     monkeypatch.setenv("SDRM_STEP_INTERLEAVE", "0")
     rng = np.random.default_rng(4)
-    x = (rng.standard_normal((1024, 256)) * 0.3).astype(np.float32)
+    x = (rng.standard_normal((512, 256)) * 0.3).astype(np.float32)
     compare_paths(
-        FskDemodConfig(48000, 4800, 5000, 2, 2000, True), 1024, x, iters=1
+        FskDemodConfig(48000, 4800, 5000, 2, 2000, True), 512, x, iters=1
     )
 
 
